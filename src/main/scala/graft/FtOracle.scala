@@ -1,0 +1,193 @@
+package graft
+
+import graft.analysis.Analyzers
+
+/** Generates the DuckDB oracle SQL that recomputes each full-text query —
+  * tokenization, BM25 (k1=1.2, b=0.75), boolean combination, top-k — from
+  * the raw `documents` parquet. The SQL mirrors the engine's arithmetic
+  * expression-for-expression (literals written as `(1.2 + 1.0)` etc. so both
+  * sides evaluate the same double operations); `round(s, 4)` absorbs
+  * ulp-level summation-order differences.
+  *
+  * Tokenizer equivalence: the documents corpus is lowercase letters+spaces
+  * only, where the Standard analyzer's stream equals
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')` minus the English stop set
+  * (EngineSpec asserts this corpus property).
+  */
+object FtOracle {
+
+  private val stopList = Analyzers.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** Shared CTEs: token stream with pre-stop positions, post-stop doc
+    * lengths, field stats, tf, df — the SQL rendering of SURVEY.md §2.5.
+    */
+  val baseCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+       |  FROM documents
+       |),
+       |ftok AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
+       |fstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ftok GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)""".stripMargin
+
+  private def idfExpr(dfExpr: String, nExpr: String): String =
+    s"ln(1.0 + ($nExpr - $dfExpr + 0.5) / ($dfExpr + 0.5))"
+
+  private def termIdf(term: String): String =
+    s"(SELECT ${idfExpr("df.df", "(SELECT n FROM fstat)")} FROM df WHERE term = '$term')"
+
+  private val tfNormDenom =
+    "(1.2 * ((1.0 - 0.75) + (0.75 / (SELECT avgdl FROM fstat)) * dl.dl))"
+
+  /** One boolean clause rendered as `SELECT doc_id, s`. */
+  sealed trait OClause { def sql: String }
+
+  /** Analyzed term on the default (text) field. */
+  final case class OTerm(term: String) extends OClause {
+    def sql: String =
+      s"""SELECT tf.doc_id AS doc_id,
+         |  ${idfExpr("df.df", "(SELECT n FROM fstat)")}
+         |    * tf.tf * (1.2 + 1.0)
+         |    / (tf.tf + $tfNormDenom) AS s
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |WHERE tf.term = '$term'""".stripMargin
+  }
+
+  /** Untokenized STRING field term (lang:, source:) — tf=1, dl=1, avgdl=1;
+    * per-field stats over docs where the column is non-null.
+    */
+  final case class OStringTerm(column: String, value: String) extends OClause {
+    private val nF = s"(SELECT count(*)::DOUBLE FROM documents WHERE $column IS NOT NULL)"
+    private val dfF = s"(SELECT count(*)::DOUBLE FROM documents WHERE $column = '$value')"
+    def sql: String =
+      s"""SELECT doc_id,
+         |  ${idfExpr(dfF, nF)}
+         |    * 1.0 * (1.2 + 1.0)
+         |    / (1.0 + 1.2 * ((1.0 - 0.75) + (0.75 / 1.0) * 1.0)) AS s
+         |FROM documents WHERE $column = '$value'""".stripMargin
+  }
+
+  /** Exact phrase on the text field: positional self-join, tf = match count,
+    * idf = sum of the terms' idfs (Lucene PhraseQuery semantics).
+    */
+  final case class OPhrase(terms: Seq[String]) extends OClause {
+    def sql: String = {
+      val joins = terms.zipWithIndex.map { case (t, i) =>
+        s"(SELECT doc_id, pos FROM tok WHERE term = '$t') p$i"
+      }
+      val conds = (1 until terms.length)
+        .map(i => s"p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i")
+      val sumIdf = terms.map(termIdf).mkString("(", " + ", ")")
+      s"""SELECT m.doc_id AS doc_id,
+         |  $sumIdf * m.pf * (1.2 + 1.0) / (m.pf + $tfNormDenom) AS s
+         |FROM (
+         |  SELECT p0.doc_id AS doc_id, count(*)::DOUBLE AS pf
+         |  FROM ${joins.mkString(", ")}
+         |  WHERE ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}
+         |  GROUP BY p0.doc_id
+         |) m JOIN dl ON m.doc_id = dl.doc_id""".stripMargin
+    }
+  }
+
+  /** Constant-score multi-term (prefix/wildcard/fuzzy/term-range): docs whose
+    * text contains any matching term — Lucene CONSTANT_SCORE rewrite, 1.0.
+    * `pred` is a predicate over `term`.
+    */
+  final case class OTermPred(pred: String) extends OClause {
+    def sql: String = s"SELECT DISTINCT doc_id, 1.0 AS s FROM tf WHERE $pred"
+  }
+
+  /** Constant-score STRING-field term range: predicate over the column. */
+  final case class ODocPred(pred: String) extends OClause {
+    def sql: String = s"SELECT doc_id, 1.0 AS s FROM documents WHERE $pred"
+  }
+
+  final case class OBoost(inner: OClause, factor: Double) extends OClause {
+    def sql: String = s"SELECT doc_id, s * $factor AS s FROM (${inner.sql})"
+  }
+
+  /** Boolean combine + top-k envelope: union positive clauses, sum scores,
+    * require all MUSTs, anti-join MUST_NOTs, rank by (s desc, doc_id asc).
+    */
+  def topk(
+      musts: Seq[OClause] = Nil,
+      shoulds: Seq[OClause] = Nil,
+      nots: Seq[OClause] = Nil,
+      k: Int = 10,
+      skip: Int = 0): String = {
+    val body = rankedBody(musts, shoulds, nots)
+    s"""WITH $baseCtes
+       |SELECT doc_id, round(s, 4) AS score_r, rank
+       |FROM ($body)
+       |WHERE rank > $skip AND rank <= ${skip + k}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** comb CTE body with rank column. */
+  private def rankedBody(musts: Seq[OClause], shoulds: Seq[OClause], nots: Seq[OClause]): String = {
+    val tagged =
+      musts.map(c => s"SELECT doc_id, s, 1 AS m FROM (${c.sql})") ++
+        shoulds.map(c => s"SELECT doc_id, s, 0 AS m FROM (${c.sql})")
+    val union = tagged.mkString("\nUNION ALL\n")
+    val having = if (musts.nonEmpty) s"HAVING sum(m) = ${musts.size}" else ""
+    val notSimple =
+      if (nots.isEmpty) ""
+      else s"WHERE doc_id NOT IN (${nots.map(c => s"SELECT doc_id FROM (${c.sql})").mkString(" UNION ALL ")})"
+    s"""SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+       |FROM (
+       |  SELECT doc_id, sum(s) AS s FROM (
+       |$union
+       |  ) GROUP BY doc_id $having
+       |) $notSimple""".stripMargin
+  }
+
+  /** Field-sorted variant: join a sort column, order by it (asc) then doc_id. */
+  def sortedBy(clause: OClause, sortCol: String, k: Int): String =
+    s"""WITH $baseCtes
+       |SELECT doc_id, round(s, 4) AS score_r, $sortCol, rank FROM (
+       |  SELECT c.doc_id AS doc_id, c.s AS s, d.$sortCol AS $sortCol,
+       |         row_number() OVER (ORDER BY d.$sortCol ASC, c.doc_id ASC) AS rank
+       |  FROM (${clause.sql}) c JOIN documents d ON c.doc_id = d.doc_id
+       |) WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** include_docs variant: top-k joined back to the stored text. */
+  def withDocs(clause: OClause, k: Int): String =
+    s"""WITH $baseCtes
+       |SELECT r.doc_id AS doc_id, round(r.s, 4) AS score_r, r.rank AS rank, d.text AS text FROM (
+       |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank FROM (${clause.sql})
+       |) r JOIN documents d ON r.doc_id = d.doc_id
+       |WHERE r.rank <= $k ORDER BY r.rank""".stripMargin
+
+  /** total_rows analog: hit count. */
+  def total(musts: Seq[OClause] = Nil, shoulds: Seq[OClause] = Nil): String = {
+    val tagged =
+      musts.map(c => s"SELECT doc_id, s, 1 AS m FROM (${c.sql})") ++
+        shoulds.map(c => s"SELECT doc_id, s, 0 AS m FROM (${c.sql})")
+    val having = if (musts.nonEmpty) s"HAVING sum(m) = ${musts.size}" else ""
+    s"""WITH $baseCtes
+       |SELECT count(*)::BIGINT AS total_rows FROM (
+       |  SELECT doc_id FROM (${tagged.mkString("\nUNION ALL\n")}) GROUP BY doc_id $having
+       |)""".stripMargin
+  }
+
+  /** ?rewrite=true analog: per-term docFreq. */
+  def docFreqs(terms: Seq[String]): String =
+    s"""WITH $baseCtes
+       |SELECT term, count(*)::BIGINT AS df
+       |FROM (SELECT DISTINCT doc_id, term FROM ftok)
+       |WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |GROUP BY term""".stripMargin
+
+  /** Multi-query batch: union of two ranked envelopes tagged by qid. */
+  def multi(queries: Seq[(Seq[OClause], Seq[OClause], Int)]): String = {
+    val parts = queries.zipWithIndex.map { case ((musts, shoulds, k), qid) =>
+      s"""SELECT doc_id, round(s, 4) AS score_r, rank, $qid::INT AS qid
+         |FROM (${rankedBody(musts, shoulds, Nil)}) WHERE rank <= $k""".stripMargin
+    }
+    s"WITH $baseCtes\n${parts.mkString("\nUNION ALL\n")}"
+  }
+}

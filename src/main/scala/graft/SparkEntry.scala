@@ -1,13 +1,103 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.{QueryParser, SearchOptions, Searcher}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark-engine query (over the driver's parquet tables
+  * in `sfDir`) with DuckDB oracle SQL recomputing the same result from the
+  * raw tables. The ft_* entries exercise the full-text engine end-to-end:
+  * tokenize → postings → stats → BM25 → boolean/phrase/multi-term → top-k.
+  */
 object SparkEntry {
+  import FtOracle._
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Engine.topk(spark, "/root/testdata/sf0.001", "spark AND merge")
+
+  private def searcher(s: SparkSession, dir: String, opts: SearchOptions = SearchOptions(limit = 10)): Searcher =
+    new Searcher(Engine.documentsIndex(s, dir), opts)
+
+  private def shaped(df: DataFrame): DataFrame =
+    df.select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"), col("rank").cast("long").as("rank"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6 term / boolean / phrase / field queries, BM25-scored top-k
+    "ft_term" -> ((s, d) => Engine.topk(s, d, "dup")),
+    "ft_term_common" -> ((s, d) => Engine.topk(s, d, "spark")),
+    "ft_or" -> ((s, d) => Engine.topk(s, d, "spark merge")),
+    "ft_and" -> ((s, d) => Engine.topk(s, d, "spark AND merge")),
+    "ft_and_default" -> ((s, d) => Engine.topk(s, d, "spark merge", defaultAnd = true)),
+    "ft_not" -> ((s, d) => Engine.topk(s, d, "spark -dup")),
+    "ft_phrase" -> ((s, d) => Engine.topk(s, d, "\"merge batch\"")),
+    "ft_phrase3" -> ((s, d) => Engine.topk(s, d, "\"join small slow\"")),
+    "ft_field_string" -> ((s, d) => Engine.topk(s, d, "lang:es AND dup")),
+    "ft_field_only" -> ((s, d) => Engine.topk(s, d, "source:src3")),
+    // §2.6 multi-term expansions (constant score)
+    "ft_prefix" -> ((s, d) => Engine.topk(s, d, "sp*")),
+    "ft_wildcard" -> ((s, d) => Engine.topk(s, d, "s?ow")),
+    "ft_fuzzy" -> ((s, d) => Engine.topk(s, d, "dup~1")),
+    "ft_range_num" -> ((s, d) => Engine.topk(s, d, "n_chars<long>:[100 TO 200] AND dup")),
+    "ft_range_str" -> ((s, d) => Engine.topk(s, d, "source:[src1 TO src3] AND dup")),
+    "ft_boost" -> ((s, d) => Engine.topk(s, d, "dup^3 OR spark")),
+    // §2.7 pagination / sort / projections / totals
+    "ft_paginate" -> ((s, d) => Engine.topk(s, d, "spark", k = 5, skip = 5)),
+    "ft_sort" -> ((s, d) =>
+      searcher(s, d, SearchOptions(limit = 10, sort = QueryParser.parseSort("/source")))
+        .search("dup")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("sort_0").as("source"), col("rank").cast("long").as("rank"))),
+    "ft_include" -> ((s, d) =>
+      searcher(s, d, SearchOptions(limit = 5, includeFields = Seq("text")))
+        .search("dup")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"), col("text"))),
+    "ft_total" -> ((s, d) => {
+      import s.implicits._
+      Seq(searcher(s, d).totalRows("spark merge")).toDF("total_rows")
+    }),
+    "ft_multi" -> ((s, d) =>
+      searcher(s, d).multiSearch("dup,spark AND merge")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"), col("qid").cast("int").as("qid"))),
+    "ft_df" -> ((s, d) => {
+      import s.implicits._
+      searcher(s, d).rewriteDebug("spark merge").toSeq
+        .map { case ((_, term), n) => (term, n) }
+        .toDF("term", "df")
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ft_term" -> topk(shoulds = Seq(OTerm("dup"))),
+    "ft_term_common" -> topk(shoulds = Seq(OTerm("spark"))),
+    "ft_or" -> topk(shoulds = Seq(OTerm("spark"), OTerm("merge"))),
+    "ft_and" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
+    "ft_and_default" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
+    "ft_not" -> topk(shoulds = Seq(OTerm("spark")), nots = Seq(OTerm("dup"))),
+    "ft_phrase" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")))),
+    "ft_phrase3" -> topk(shoulds = Seq(OPhrase(Seq("join", "small", "slow")))),
+    "ft_field_string" -> topk(musts = Seq(OStringTerm("lang", "es"), OTerm("dup"))),
+    "ft_field_only" -> topk(shoulds = Seq(OStringTerm("source", "src3"))),
+    "ft_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),
+    "ft_wildcard" -> topk(shoulds = Seq(OTermPred("regexp_full_match(term, 's.ow')"))),
+    "ft_fuzzy" -> topk(shoulds = Seq(OTermPred("levenshtein(term, 'dup') <= 1"))),
+    "ft_range_num" -> topk(musts = Seq(ODocPred("n_chars >= 100 AND n_chars <= 200"), OTerm("dup"))),
+    "ft_range_str" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
+    "ft_boost" -> topk(shoulds = Seq(OBoost(OTerm("dup"), 3.0), OTerm("spark"))),
+    "ft_paginate" -> topk(shoulds = Seq(OTerm("spark")), k = 5, skip = 5),
+    "ft_sort" -> sortedBy(OTerm("dup"), "source", 10),
+    "ft_include" -> withDocs(OTerm("dup"), 5),
+    "ft_total" -> total(shoulds = Seq(OTerm("spark"), OTerm("merge"))),
+    "ft_multi" -> multi(Seq(
+      (Nil, Seq(OTerm("dup")), 10),
+      (Seq(OTerm("spark"), OTerm("merge")), Nil, 10))),
+    "ft_df" -> docFreqs(Seq("merge", "spark")))
 }

@@ -1,0 +1,202 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One token emitted by an analyzer.
+  *
+  * `pos` is the token's position in the *pre-stop-filter* token stream
+  * (0-based). Removing a stop word leaves a gap, exactly like Lucene's
+  * StopFilter position increments — so phrase queries do not match across
+  * removed stop words (reference: Lucene StandardAnalyzer semantics used by
+  * couchdb-lucene's default analyzer,
+  * /root/reference/src/main/java/com/github/rnewson/couchdb/lucene/util/Analyzers.java:199-208).
+  */
+final case class Token(term: String, pos: Int)
+
+/** An analyzer maps raw text to a token stream. Pure, thread-safe Scala
+  * functions — invoked from `mapPartitions` hot loops, so no per-row
+  * allocation beyond the output buffer.
+  */
+trait Analyzer extends Serializable {
+  def tokens(text: String): IndexedSeq[Token]
+
+  /** Analyze a single query term (e.g. the text after `field:`). Returns the
+    * analyzed terms; empty when the term is a stop word (Lucene drops the
+    * clause).
+    */
+  def queryTerms(text: String): Seq[String] = tokens(text).map(_.term)
+}
+
+/** Analyzer registry mirroring the reference's named-analyzer surface
+  * (/root/reference/src/main/java/com/github/rnewson/couchdb/lucene/util/Analyzers.java).
+  * Language-specific stemmers are documented non-goals (SURVEY.md §2.3);
+  * `standard`, `simple`, `whitespace`, `keyword`, `ngram`, `perfield` are
+  * implemented from scratch.
+  */
+object Analyzers {
+
+  /** Lucene's English stop set (StopAnalyzer.ENGLISH_STOP_WORDS_SET — public
+    * Lucene semantics; 33 words). The reference's default `standard` analyzer
+    * applies it (util/Analyzers.java:199-208).
+    */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
+  /** Max token length of Lucene's StandardTokenizer; longer runs are split. */
+  val MaxTokenLength = 255
+
+  /** StandardAnalyzer-equivalent: UAX#29-style word break + lowercase +
+    * English stop removal. Covers the word-break rules that matter for text
+    * corpora: alphanumeric runs; `.` and `'` join letter-letter
+    * (so `foo@bar.com` → `foo`, `bar.com` — golden case from the reference's
+    * util/AnalyzersTest.java:149-152); `.` and `,` join digit-digit
+    * (`3.14`, `1,024` stay single tokens); `_` (ExtendNumLet) joins
+    * alphanumerics.
+    */
+  object Standard extends Analyzer {
+    def tokens(text: String): IndexedSeq[Token] = {
+      val out = new ArrayBuffer[Token]()
+      var pos = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (isTokenChar(text.charAt(i))) {
+          val start = i
+          var end = i
+          var j = i
+          var cont = true
+          while (cont && j < n) {
+            val c = text.charAt(j)
+            if (isTokenChar(c)) { j += 1; end = j }
+            else if (j + 1 < n && isJoiner(c, text.charAt(j - 1), text.charAt(j + 1))) j += 1
+            else cont = false
+          }
+          // split over-long runs like StandardTokenizer's maxTokenLength
+          var s = start
+          while (s < end) {
+            val e = math.min(s + MaxTokenLength, end)
+            val term = text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
+            if (!EnglishStopWords.contains(term)) out += Token(term, pos)
+            pos += 1
+            s = e
+          }
+          i = end
+        } else i += 1
+      }
+      out.toIndexedSeq
+    }
+
+    @inline private def isTokenChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+
+    /** UAX#29 mid-token joiners: MidNumLet `.`/`'` between letters,
+      * MidNum `,`/`.` between digits, MidLetter `:` between letters.
+      */
+    @inline private def isJoiner(c: Char, prev: Char, next: Char): Boolean = c match {
+      case '.' | '\'' =>
+        (Character.isLetter(prev) && Character.isLetter(next)) ||
+          (Character.isDigit(prev) && Character.isDigit(next))
+      case ',' => Character.isDigit(prev) && Character.isDigit(next)
+      case ':' => Character.isLetter(prev) && Character.isLetter(next)
+      case _ => false
+    }
+  }
+
+  /** `simple` analyzer: maximal letter runs, lowercased, no stop words
+    * (reference: util/Analyzers.java:189-198).
+    */
+  object Simple extends Analyzer {
+    def tokens(text: String): IndexedSeq[Token] = {
+      val out = new ArrayBuffer[Token]()
+      var pos = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (Character.isLetter(text.charAt(i))) {
+          val start = i
+          while (i < n && Character.isLetter(text.charAt(i))) i += 1
+          out += Token(text.substring(start, i).toLowerCase(java.util.Locale.ROOT), pos)
+          pos += 1
+        } else i += 1
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  /** `whitespace` analyzer: split on whitespace, case preserved
+    * (reference: util/Analyzers.java:219-227).
+    */
+  object Whitespace extends Analyzer {
+    def tokens(text: String): IndexedSeq[Token] = {
+      val out = new ArrayBuffer[Token]()
+      var pos = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (!Character.isWhitespace(text.charAt(i))) {
+          val start = i
+          while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+          out += Token(text.substring(start, i), pos)
+          pos += 1
+        } else i += 1
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  /** `keyword` analyzer: whole input is one untokenized term
+    * (reference: util/Analyzers.java:149-158).
+    */
+  object Keyword extends Analyzer {
+    def tokens(text: String): IndexedSeq[Token] =
+      if (text == null || text.isEmpty) Vector.empty else Vector(Token(text, 0))
+  }
+
+  /** `ngram` analyzer: wraps an inner analyzer with a character n-gram
+    * filter, defaults min=1 max=2 (reference: util/Analyzers.java:228-265;
+    * golden tokens util/AnalyzersTest.java:139-146). Grams inherit the source
+    * token's position.
+    */
+  final case class NGram(inner: Analyzer = Standard, min: Int = 1, max: Int = 2) extends Analyzer {
+    def tokens(text: String): IndexedSeq[Token] = {
+      val out = new ArrayBuffer[Token]()
+      inner.tokens(text).foreach { t =>
+        val term = t.term
+        var g = min
+        while (g <= max) {
+          var s = 0
+          while (s + g <= term.length) {
+            out += Token(term.substring(s, s + g), t.pos)
+            s += 1
+          }
+          g += 1
+        }
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  /** `perfield` analyzer: per-field dispatch with a default
+    * (reference: util/Analyzers.java:159-178).
+    */
+  final case class PerField(fields: Map[String, Analyzer], default: Analyzer = Standard)
+      extends Serializable {
+    def apply(field: String): Analyzer = fields.getOrElse(field, default)
+  }
+
+  /** Named lookup mirroring the reference's `?analyzer=` query parameter
+    * (DatabaseIndexer.java:477, util/Analyzers.java:283-299).
+    */
+  def byName(name: String): Analyzer = name.toLowerCase(java.util.Locale.ROOT) match {
+    case "standard" | "english" => Standard
+    case "simple" => Simple
+    case "whitespace" => Whitespace
+    case "keyword" => Keyword
+    case "ngram" => NGram()
+    case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+}

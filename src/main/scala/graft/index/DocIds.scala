@@ -1,0 +1,64 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Stable, dense docID assignment: rank over an ordering — the Spark-scale
+  * replacement for the reference's `_id` primary key
+  * (/root/reference/src/main/java/com/github/rnewson/couchdb/lucene/rhino/RhinoDocument.java:138).
+  *
+  * Semantically `row_number().over(Window.orderBy(cols))`, but a global
+  * window collapses to one partition; instead we range-partition on the
+  * ordering, sort within partitions, count per partition, and add cumulative
+  * offsets (SURVEY.md §2.5). Spark's `RangePartitioner` guarantees partition
+  * p's keys all precede partition p+1's, and its reservoir sampling is
+  * seeded per-partition (deterministic), so the assignment is a pure function
+  * of the data — identical at local[8] and local[32], never
+  * `monotonically_increasing_id`.
+  */
+object DocIds {
+
+  /** Append a dense 0-based `docIdCol` ranked by `orderCols` (keys must be
+    * unique). Two jobs: one to count partition sizes, one to assign; the
+    * sorted intermediate is persisted so both see the same partitioning.
+    */
+  def assign(
+      df: DataFrame,
+      orderCols: Seq[String],
+      docIdCol: String = "docId",
+      numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = orderCols.map(col)
+    val sorted = df
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .persist()
+
+    val counts: Array[(Int, Long)] = sorted
+      .mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((TaskContext.getPartitionId(), n))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect()
+
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    val outSchema = sorted.schema.add(docIdCol, LongType, nullable = false)
+    val assigned = sorted.mapPartitions { it =>
+      var next = bc.value(TaskContext.getPartitionId())
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ next)
+        next += 1
+        out
+      }
+    }(Encoders.row(outSchema))
+    assigned
+  }
+}

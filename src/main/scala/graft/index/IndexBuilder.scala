@@ -1,0 +1,142 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** The in-memory (DataFrame-level) form of an index over one corpus:
+  * postings + stats + the stored-document table. This is the Catalyst-native
+  * query surface; the compressed segment form (delta+VByte+skip, for the
+  * 100 TB path) is built from `postings` by [[SegmentWriter]].
+  */
+final case class TextIndex(
+    postings: Dataset[Posting],
+    docs: DataFrame, // stored fields, includes docIdCol
+    termStats: Dataset[TermStats],
+    fieldStats: Map[String, FieldStats],
+    docIdCol: String,
+    fields: Seq[FieldDef]) {
+
+  def analyzerFor(field: String): graft.analysis.Analyzer =
+    fields.collectFirst { case FieldDef(`field`, _, TextField(a)) => a }
+      .getOrElse(graft.analysis.Analyzers.Keyword)
+
+  def isTextField(field: String): Boolean =
+    fields.exists(f => f.indexField == field && f.kind.isInstanceOf[TextField])
+
+  /** Pin the hot tables in memory for repeated queries (search service mode). */
+  def cached(): TextIndex = {
+    copy(postings = postings.persist(), docs = docs.persist(), termStats = termStats.persist())
+  }
+}
+
+/** Builds the inverted index from a document table — the Spark-first
+  * re-expression of the reference's indexing dataflow (SURVEY.md §2.2/§2.5;
+  * reference loop: DatabaseIndexer.java:293-384 feeding Lucene's
+  * IndexWriter).
+  *
+  * Plan shape (scale notes):
+  *  - tf/positions/dl are computed *inside the tokenize flatMap* — each
+  *    (field, term, docId) posting comes from exactly one source row, so
+  *    posting construction needs NO shuffle at all; the only wide exchanges
+  *    in the whole build are the small stats aggregations and the
+  *    range-partitioned term shuffle when writing compressed segments.
+  *  - term stats use an explicit salted two-phase aggregation: hot terms
+  *    (role:/tool: values, stop-adjacent words) are first combined per
+  *    (term, salt) so no single reducer receives a hot term's full posting
+  *    stream (north rule: skew handled explicitly).
+  */
+object IndexBuilder {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 idf, Lucene 6.4.1 default similarity (SURVEY.md §2.7):
+    * ln(1 + (N - df + 0.5) / (df + 0.5)).
+    */
+  def idf(df: Long, n: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  /** BM25 term score for one posting. */
+  def bm25(tf: Double, idf: Double, dl: Double, avgdl: Double): Double =
+    idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+  def tokenizePostings(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[Posting] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cols = col(docIdCol).cast(LongType) +: fields.map(f => col(f.source).cast(StringType))
+    docs.select(cols: _*).flatMap { row =>
+      val docId = row.getLong(0)
+      fields.iterator.zipWithIndex.flatMap { case (f, i) =>
+        if (row.isNullAt(i + 1)) Iterator.empty
+        else f.kind match {
+          case TextField(analyzer) =>
+            val toks = analyzer.tokens(row.getString(i + 1))
+            val dl = toks.length
+            if (dl == 0) Iterator.empty
+            else toks.groupBy(_.term).iterator.map { case (t, occ) =>
+              Posting(f.indexField, t, docId, occ.length, occ.map(_.pos).toArray, dl)
+            }
+          case StringField =>
+            Iterator.single(Posting(f.indexField, row.getString(i + 1), docId, 1, Array(0), 1))
+        }
+      }
+    }
+  }
+
+  /** Per-(doc, field) lengths, computed in a second cheap pass over the
+    * source (scan-only, no shuffle) — feeds fieldStats.
+    */
+  def docLengths(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[DocLength] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cols = col(docIdCol).cast(LongType) +: fields.map(f => col(f.source).cast(StringType))
+    docs.select(cols: _*).flatMap { row =>
+      val docId = row.getLong(0)
+      fields.iterator.zipWithIndex.flatMap { case (f, i) =>
+        if (row.isNullAt(i + 1)) Iterator.empty
+        else f.kind match {
+          case TextField(analyzer) =>
+            val dl = analyzer.tokens(row.getString(i + 1)).length
+            if (dl == 0) Iterator.empty else Iterator.single(DocLength(docId, f.indexField, dl))
+          case StringField => Iterator.single(DocLength(docId, f.indexField, 1))
+        }
+      }
+    }
+  }
+
+  /** Salted two-phase term statistics: partial (term, salt) combine, then
+    * final merge — no reducer ever sees a hot term's full stream.
+    */
+  def termStats(postings: Dataset[Posting], saltBuckets: Int = 16): Dataset[TermStats] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings
+      .groupBy($"field", $"term", pmod(hash($"docId"), lit(saltBuckets)).as("salt"))
+      .agg(count(lit(1)).as("pdf"), sum($"tf").as("pcf"))
+      .groupBy($"field", $"term")
+      .agg(sum($"pdf").as("df"), sum($"pcf").as("cf"))
+      .as[TermStats]
+  }
+
+  def fieldStats(lengths: Dataset[DocLength]): Map[String, FieldStats] = {
+    val spark = lengths.sparkSession
+    import spark.implicits._
+    lengths
+      .groupBy($"field")
+      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
+      .as[FieldStats]
+      .collect()
+      .map(fs => fs.field -> fs)
+      .toMap
+  }
+
+  /** Build the full index over `docs`. `docs` must already carry a stable
+    * Long doc id (use [[DocIds.assign]] when the source has none).
+    */
+  def build(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): TextIndex = {
+    val postings = tokenizePostings(docs, docIdCol, fields)
+    val lengths = docLengths(docs, docIdCol, fields)
+    TextIndex(postings, docs, termStats(postings), fieldStats(lengths), docIdCol, fields)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.index
+
+import graft.analysis.Analyzer
+
+/** One posting: the occurrence record of `term` in `docId`'s `field`.
+  *
+  * This is the engine's central data structure — the row-level form of the
+  * inverted index the reference delegates to Lucene
+  * (/root/reference/src/main/java/com/github/rnewson/couchdb/lucene/DatabaseIndexer.java:199-211,
+  * Lucene public semantics per SURVEY.md §2.5).
+  *
+  *  - `tf`        term frequency within (docId, field)
+  *  - `positions` pre-stop-filter token positions, sorted asc (phrase queries)
+  *  - `dl`        token count of (docId, field) after analysis — denormalized
+  *                into the posting so BM25 scoring is join-free at query time
+  *                (Lucene stores this as the per-doc norm; we keep the exact
+  *                int instead of Lucene's lossy 1-byte encoding, SURVEY.md §2.7)
+  */
+final case class Posting(
+    field: String,
+    term: String,
+    docId: Long,
+    tf: Int,
+    positions: Array[Int],
+    dl: Int)
+
+/** Per-(field, term) statistics: document frequency and collection term
+  * frequency — the reference exposes df via `?rewrite=true`
+  * (DatabaseIndexer.java:494-504).
+  */
+final case class TermStats(field: String, term: String, df: Long, cf: Long)
+
+/** Per-field corpus statistics for BM25: number of docs with the field and
+  * average field length.
+  */
+final case class FieldStats(field: String, docCount: Long, avgdl: Double)
+
+/** Per-(doc, field) length row. */
+final case class DocLength(docId: Long, field: String, dl: Int)
+
+/** How a source column is indexed — mirrors the reference's field types
+  * (couchdb/FieldType.java): TEXT = analyzed with positions; STRING = single
+  * untokenized term (exact match, sortable); numeric/date = doc-value only
+  * (point/range predicates, no postings).
+  */
+sealed trait FieldKind extends Serializable
+final case class TextField(analyzer: Analyzer) extends FieldKind
+case object StringField extends FieldKind
+
+/** `indexField` is the queryable name (e.g. "default"), `source` the input
+  * column it is derived from.
+  */
+final case class FieldDef(indexField: String, source: String, kind: FieldKind)

@@ -1,0 +1,316 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, TextIndex}
+
+/** Executes a parsed [[Query]] against a [[TextIndex]] as declarative
+  * Catalyst plans — the Spark-first replacement for the reference's
+  * `IndexSearcher.search(q, skip+limit)` call path
+  * (/root/reference/src/main/java/com/github/rnewson/couchdb/lucene/DatabaseIndexer.java:531-535).
+  *
+  * Physical mapping (SURVEY.md §2.6/§2.7):
+  *  - term query      → postings scan filtered on (field, term); BM25 computed
+  *                      as a codegen'd column expression with idf/avgdl inlined
+  *                      as literals (query-term stats are driver-collected,
+  *                      like Lucene's TermStates lookup — a handful of rows)
+  *  - boolean         → ONE shuffle: union of clause frames, groupBy(docId)
+  *                      summing scores and counting satisfied MUSTs; MUST_NOT
+  *                      via left_anti join
+  *  - phrase          → n-way docId equi-join of the terms' postings + a
+  *                      higher-order array expression counting consecutive
+  *                      positions (positional join)
+  *  - prefix/wildcard/fuzzy/term-range → term-dictionary scan (termStats)
+  *                      driver-collected expansion, constant score 1.0
+  *                      (Lucene's CONSTANT_SCORE multi-term rewrite)
+  *  - typed point/range → predicate on the doc-value column, constant score
+  *  - top-k           → orderBy(score desc, docId asc).limit(skip+k) =
+  *                      TakeOrderedAndProject (per-partition heaps, no global
+  *                      sort)
+  *
+  * BM25 with k1=1.2, b=0.75, per-field stats — Lucene 6.4.1 default
+  * similarity (reference pom.xml:158; north rule pins the constants).
+  */
+final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
+  import IndexBuilder.{B, K1}
+
+  private val spark = index.docs.sparkSession
+  private def docIdCol = index.docIdCol
+
+  // ---------------- public API ----------------------------------------
+
+  def parse(q: String): Query = {
+    val raw = new QueryParser(opts.defaultField, opts.defaultOperatorAnd, opts.allowLeadingWildcard).parse(q)
+    bind(raw)
+  }
+
+  /** (docId, score) frame for a query string. */
+  def scored(q: String): DataFrame = exec(parse(q))
+
+  /** Top-k envelope: rank (1-based, after skip), docId, score — ties broken
+    * by docId asc (Lucene tie-break). Extra stored fields joined when
+    * requested.
+    */
+  def search(q: String): DataFrame = {
+    val hits = scored(q)
+    val k = opts.skip + opts.limit
+    // Field sort joins sort keys from the doc table (aliased sort_i to avoid
+    // collisions); scores still computed, un-normalized (reference
+    // DatabaseIndexer.java:594-608). Default sort: score desc, docId asc
+    // (Lucene tie-break).
+    val (prepared, sortCols) =
+      if (opts.sort.isEmpty) (hits, Seq(col("score").desc, col("docId").asc))
+      else {
+        val fieldSorts = opts.sort.zipWithIndex
+        val ext = fieldSorts.collect { case (SortField(f, _, _), i) if f != "_score" && f != "_doc" => (f, i) }
+        val joined =
+          if (ext.isEmpty) hits
+          else hits.join(
+            index.docs.select(col(docIdCol).cast("long").as("docId") +: ext.map { case (f, i) => col(f).as(s"sort_$i") }: _*),
+            Seq("docId"))
+        val cols = fieldSorts.map { case (SortField(f, _, asc), i) =>
+          val c = f match {
+            case "_score" => col("score")
+            case "_doc" => col("docId")
+            case _ => col(s"sort_$i")
+          }
+          if (asc) c.asc else c.desc
+        } :+ col("docId").asc
+        (joined, cols)
+      }
+    // skip/limit pagination (reference DatabaseIndexer.java:515-543):
+    // fetch skip+limit via TakeOrderedAndProject, then window the tiny
+    // (≤ skip+limit row) result locally to drop the first `skip`.
+    val ordered = prepared.orderBy(sortCols: _*).limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
+    val ranked = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
+    if (opts.includeDocs || opts.includeFields.nonEmpty) {
+      // include_docs fetch-back = broadcast equi-join of the ≤k hit ids
+      // against the stored table (reference DatabaseIndexer.java:609-633)
+      val cols: Seq[Column] =
+        if (opts.includeFields.nonEmpty) col(docIdCol) +: opts.includeFields.map(col)
+        else index.docs.columns.toSeq.map(col)
+      val docs = index.docs.select(cols: _*).withColumnRenamed(docIdCol, "docId")
+      docs.join(broadcast(ranked), Seq("docId"), "inner")
+    } else ranked
+  }
+
+  /** Total matching docs alongside top-k — reference `total_rows`
+    * (DatabaseIndexer.java:638).
+    */
+  def totalRows(q: String): Long = scored(q).count()
+
+  /** Multi-query batch: comma-separated q, one result frame with a `qid`
+    * column (reference DatabaseIndexer.java:476,689-691).
+    */
+  def multiSearch(qs: String): DataFrame =
+    QueryParser.splitOnCommas(qs).zipWithIndex
+      .map { case (q, idx) => search(q).withColumn("qid", lit(idx)) }
+      .reduce(_ unionByName _)
+
+  /** Per-term docFreq for a query — reference `?rewrite=true` debug
+    * (DatabaseIndexer.java:489-504).
+    */
+  def rewriteDebug(q: String): Map[(String, String), Long] = {
+    val terms = collectTerms(parse(q))
+    lookupStats(terms).map { case (k, v) => k -> v.df }
+  }
+
+  // ---------------- binding (query-time analysis) ----------------------
+
+  /** Analyze TEXT-field terms with the field's analyzer; stop words drop the
+    * clause (Lucene parser returns null). STRING fields match exactly.
+    */
+  private def bind(q: Query): Query = q match {
+    case TermQ(f, t) if index.isTextField(f) =>
+      index.analyzerFor(f).queryTerms(t) match {
+        case Seq() => EmptyQ
+        case Seq(one) => TermQ(f, one)
+        case many => BoolQ(many.map(m => Clause(Occur.Should, TermQ(f, m))))
+      }
+    case PhraseQ(f, terms, slop) if index.isTextField(f) =>
+      val analyzed = terms.flatMap(index.analyzerFor(f).queryTerms(_))
+      if (analyzed.isEmpty) EmptyQ
+      else if (analyzed.length == 1) TermQ(f, analyzed.head)
+      else PhraseQ(f, analyzed, slop)
+    case PhraseQ(f, terms, slop) => if (terms.length == 1) TermQ(f, terms.head) else PhraseQ(f, terms, slop)
+    case BoolQ(cs) =>
+      val bound = cs.map(c => c.copy(q = bind(c.q))).filter(_.q != EmptyQ)
+      if (bound.isEmpty) EmptyQ
+      else if (bound.length == 1 && bound.head.occur != Occur.MustNot) bound.head.q
+      else BoolQ(bound)
+    case BoostQ(inner, b) =>
+      val bi = bind(inner)
+      if (bi == EmptyQ) EmptyQ else BoostQ(bi, b)
+    case PrefixQ(f, p) if index.isTextField(f) => PrefixQ(f, p.toLowerCase(java.util.Locale.ROOT))
+    case WildcardQ(f, p) if index.isTextField(f) => WildcardQ(f, p.toLowerCase(java.util.Locale.ROOT))
+    case FuzzyQ(f, t, e) if index.isTextField(f) => FuzzyQ(f, t.toLowerCase(java.util.Locale.ROOT), e)
+    case other => other
+  }
+
+  // ---------------- statistics -----------------------------------------
+
+  private def collectTerms(q: Query): Seq[(String, String)] = q match {
+    case TermQ(f, t) => Seq((f, t))
+    case PhraseQ(f, ts, _) => ts.map((f, _))
+    case BoolQ(cs) => cs.flatMap(c => collectTerms(c.q))
+    case BoostQ(inner, _) => collectTerms(inner)
+    case _ => Nil
+  }
+
+  /** Driver-side lookup of the query terms' stats — bounded by query size,
+    * the same shape as Lucene resolving TermStates before scoring.
+    */
+  private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), graft.index.TermStats] = {
+    if (terms.isEmpty) return Map.empty
+    val ts = index.termStats
+    val cond = terms.distinct
+      .map { case (f, t) => (col("field") === f) && (col("term") === t) }
+      .reduce(_ || _)
+    ts.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+  }
+
+  // ---------------- execution ------------------------------------------
+
+  /** Score expression with stats inlined as literals — stays inside
+    * whole-stage codegen.
+    */
+  private def bm25Col(idf: Double, avgdl: Double, tf: Column, dl: Column): Column =
+    lit(idf) * tf * lit(K1 + 1.0) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B / avgdl) * dl))
+
+  private def emptyHits: DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+  }
+
+  private[query] def exec(q: Query): DataFrame = {
+    val stats = lookupStats(collectTerms(q))
+    execWith(q, stats)
+  }
+
+  private def execWith(q: Query, stats: Map[(String, String), graft.index.TermStats]): DataFrame = q match {
+    case EmptyQ => emptyHits
+
+    case MatchAllQ =>
+      index.docs.select(col(docIdCol).cast("long").as("docId"), lit(1.0).as("score"))
+
+    case TermQ(f, t) =>
+      stats.get((f, t)) match {
+        case None => emptyHits
+        case Some(st) =>
+          val fs = index.fieldStats(f)
+          val theIdf = IndexBuilder.idf(st.df, fs.docCount)
+          index.postings
+            .filter(col("field") === f && col("term") === t)
+            .select(col("docId"), bm25Col(theIdf, fs.avgdl, col("tf").cast("double"), col("dl").cast("double")).as("score"))
+      }
+
+    case PhraseQ(f, terms, _) =>
+      // positional join: intersect the terms' postings on docId, then count
+      // positions p in t0 with p+i present in ti for all i (slop 0 —
+      // exact-phrase, matching the quoted-path semantics the reference
+      // serves via Lucene's PhraseQuery).
+      if (terms.exists(t => !stats.contains((f, t)))) return emptyHits
+      val fs = index.fieldStats(f)
+      val sumIdf = terms.map(t => IndexBuilder.idf(stats((f, t)).df, fs.docCount)).sum
+      val frames = terms.zipWithIndex.map { case (t, idx) =>
+        index.postings
+          .filter(col("field") === f && col("term") === t)
+          .select(col("docId"), col("positions").as(s"p$idx"), col("dl"))
+      }
+      val joined = frames.zipWithIndex
+        .map { case (fr, idx) => if (idx == 0) fr else fr.drop("dl") }
+        .reduce((a, b) => a.join(b, Seq("docId")))
+      val matchCond = (1 until terms.length)
+        .map(idx => (p: Column) => array_contains(col(s"p$idx"), p + lit(idx)))
+      val freq = size(filter(col("p0"), p => matchCond.map(_(p)).reduce(_ && _)))
+      joined
+        .withColumn("pf", freq.cast("double"))
+        .filter(col("pf") > 0)
+        .select(col("docId"), bm25Col(sumIdf, fs.avgdl, col("pf"), col("dl").cast("double")).as("score"))
+
+    case BoolQ(clauses) =>
+      val pos = clauses.filter(_.occur != Occur.MustNot)
+      val neg = clauses.filter(_.occur == Occur.MustNot)
+      if (pos.isEmpty) return emptyHits // pure negation matches nothing (Lucene)
+      val numMust = pos.count(_.occur == Occur.Must)
+      val frames = pos.zipWithIndex.map { case (c, idx) =>
+        execWith(c.q, stats).select(
+          col("docId"), col("score"),
+          lit(if (c.occur == Occur.Must) 1 else 0).as("isMust"),
+          lit(idx).as("cid"))
+      }
+      var combined = frames.reduce(_ unionByName _)
+        .groupBy(col("docId"))
+        .agg(sum(col("score")).as("score"), sum(col("isMust")).as("mustHits"))
+      if (numMust > 0) combined = combined.filter(col("mustHits") === numMust)
+      val positive = combined.select(col("docId"), col("score"))
+      if (neg.isEmpty) positive
+      else {
+        val negUnion = neg.map(c => execWith(c.q, stats).select(col("docId"))).reduce(_ union _)
+        positive.join(negUnion, Seq("docId"), "left_anti")
+      }
+
+    case BoostQ(inner, boost) =>
+      execWith(inner, stats).withColumn("score", col("score") * lit(boost))
+
+    case PrefixQ(f, p) =>
+      constantScore(f, col("term").startsWith(p))
+
+    case WildcardQ(f, pat) =>
+      val regex = "^" + pat.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()^$|+".contains(c) => "\\" + c
+        case c => c.toString
+      } + "$"
+      constantScore(f, col("term").rlike(regex))
+
+    case FuzzyQ(f, t, maxEdits) =>
+      constantScore(f, levenshtein(col("term"), lit(t)) <= maxEdits)
+
+    case TermRangeQ(f, lo, hi, incLo, incHi) =>
+      val conds = Seq(
+        lo.map(v => if (incLo) col("term") >= v else col("term") > v),
+        hi.map(v => if (incHi) col("term") <= v else col("term") < v)).flatten
+      constantScore(f, conds.reduceOption(_ && _).getOrElse(lit(true)))
+
+    case NumRangeQ(f, tpe, lo, hi, incLo, incHi) =>
+      val c = numCol(f, tpe)
+      val conds = Seq(
+        lo.map(v => if (incLo) c >= v else c > v),
+        hi.map(v => if (incHi) c <= v else c < v)).flatten
+      index.docs
+        .filter(conds.reduceOption(_ && _).getOrElse(lit(true)))
+        .select(col(docIdCol).cast("long").as("docId"), lit(1.0).as("score"))
+
+    case NumTermQ(f, tpe, v) =>
+      index.docs.filter(numCol(f, tpe) === v)
+        .select(col(docIdCol).cast("long").as("docId"), lit(1.0).as("score"))
+  }
+
+  /** Typed doc-value column: dates compare as epoch millis
+    * (reference FieldType.java:32-53).
+    */
+  private def numCol(f: String, tpe: String): Column =
+    if (tpe == "date") unix_millis(col(f).cast("timestamp")).cast("double")
+    else col(f).cast("double")
+
+  /** Multi-term queries: term-dictionary scan → OR of postings at constant
+    * score 1.0 (Lucene CONSTANT_SCORE rewrite). The expansion is collected
+    * on the driver (bounded like Lucene's maxClauseCount) and pushed back as
+    * an isin filter so the postings scan stays a single pruned pass.
+    */
+  private def constantScore(f: String, termPred: Column): DataFrame = {
+    val expanded = index.termStats
+      .filter(col("field") === f && termPred)
+      .select(col("term")).collect().map(_.getString(0))
+    if (expanded.isEmpty) emptyHits
+    else index.postings
+      .filter(col("field") === f && col("term").isin(expanded.toIndexedSeq: _*))
+      .select(col("docId")).distinct()
+      .withColumn("score", lit(1.0))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query._
+
+/** Parser shapes, mirroring the reference's CustomQueryParserTest.java:41-113. */
+class QueryParserSpec extends AnyFunSuite {
+  private def p(q: String, and: Boolean = false): Query = new QueryParser("default", and).parse(q)
+
+  test("bare term targets the default field (reference util/Constants.java:31)") {
+    assert(p("hello") === TermQ("default", "hello"))
+  }
+
+  test("field:term") {
+    assert(p("role:assistant") === TermQ("role", "assistant"))
+  }
+
+  test("default operator OR → SHOULD clauses") {
+    assert(p("hello world") === BoolQ(Seq(
+      Clause(Occur.Should, TermQ("default", "hello")),
+      Clause(Occur.Should, TermQ("default", "world")))))
+  }
+
+  test("AND upgrades both clauses to MUST (Lucene classic semantics)") {
+    assert(p("hello AND world") === BoolQ(Seq(
+      Clause(Occur.Must, TermQ("default", "hello")),
+      Clause(Occur.Must, TermQ("default", "world")))))
+  }
+
+  test("default_operator=AND makes bare juxtaposition MUST") {
+    assert(p("hello world", and = true) === BoolQ(Seq(
+      Clause(Occur.Must, TermQ("default", "hello")),
+      Clause(Occur.Must, TermQ("default", "world")))))
+  }
+
+  test("+ - NOT modifiers") {
+    assert(p("+hello -world") === BoolQ(Seq(
+      Clause(Occur.Must, TermQ("default", "hello")),
+      Clause(Occur.MustNot, TermQ("default", "world")))))
+    assert(p("hello NOT world") === BoolQ(Seq(
+      Clause(Occur.Should, TermQ("default", "hello")),
+      Clause(Occur.MustNot, TermQ("default", "world")))))
+  }
+
+  test("phrase with slop") {
+    assert(p("\"paxos made simple\"") === PhraseQ("default", Seq("paxos", "made", "simple"), 0))
+    assert(p("\"a b\"~2") === PhraseQ("default", Seq("a", "b"), 2))
+    assert(p("text:\"hello world\"") === PhraseQ("text", Seq("hello", "world"), 0))
+  }
+
+  test("typed ranges → point ranges (reference CustomQueryParserTest.java:41-113)") {
+    assert(p("age<long>:[12 TO 15]") === NumRangeQ("age", "long", Some(12.0), Some(15.0), true, true))
+    assert(p("age<int>:{12 TO 15}") === NumRangeQ("age", "int", Some(12.0), Some(15.0), false, false))
+    assert(p("price<double>:[1.5 TO *]") === NumRangeQ("price", "double", Some(1.5), None, true, true))
+  }
+
+  test("typed point query") {
+    assert(p("age<long>:12") === NumTermQ("age", "long", 12.0))
+  }
+
+  test("date range parses the reference's patterns (FieldType.java:207-238)") {
+    val q = p("ts<date>:[2026-01-01 TO 2026-02-01]").asInstanceOf[NumRangeQ]
+    assert(q.lo === Some(1767225600000.0))
+    assert(QueryParser.parseDateMillis("2026-01-01T00:00:00") === 1767225600000L)
+  }
+
+  test("untyped range is a lexicographic term range (FieldType.java:173-177)") {
+    assert(p("source:[src1 TO src3]") === TermRangeQ("source", Some("src1"), Some("src3"), true, true))
+  }
+
+  test("prefix, wildcard, fuzzy, boost") {
+    assert(p("lead*") === PrefixQ("default", "lead"))
+    assert(p("qu?rum") === WildcardQ("default", "qu?rum"))
+    assert(p("paxos~") === FuzzyQ("default", "paxos", 2))
+    assert(p("paxos~1") === FuzzyQ("default", "paxos", 1))
+    assert(p("merge^2.5") === BoostQ(TermQ("default", "merge"), 2.5))
+  }
+
+  test("leading wildcard gated (reference lucene.allowLeadingWildcard, ini:21-22)") {
+    intercept[IllegalArgumentException](p("*ark"))
+    assert(new QueryParser("default", false, true).parse("*ark") === WildcardQ("default", "*ark"))
+  }
+
+  test("grouping and field-scoped groups") {
+    assert(p("(hello OR world) AND retry") === BoolQ(Seq(
+      Clause(Occur.Must, BoolQ(Seq(
+        Clause(Occur.Should, TermQ("default", "hello")),
+        Clause(Occur.Should, TermQ("default", "world"))))),
+      Clause(Occur.Must, TermQ("default", "retry")))))
+    assert(p("role:(user assistant)") === BoolQ(Seq(
+      Clause(Occur.Should, TermQ("role", "user")),
+      Clause(Occur.Should, TermQ("role", "assistant")))))
+  }
+
+  test("quote-aware comma split (reference util/Utils.java:76-78)") {
+    assert(QueryParser.splitOnCommas("a,\"b,c\",d") === Seq("a", "\"b,c\"", "d"))
+  }
+
+  test("sort spec (reference CustomQueryParser.java:41-68)") {
+    assert(QueryParser.parseSort("/field<string>,\\other,_score") === Seq(
+      SortField("field", Some("string"), true),
+      SortField("other", None, false),
+      SortField("_score", None, true)))
+  }
+}
