@@ -48,4 +48,30 @@ object Engine {
       round(col("score"), 4).as("score_r"),
       col("rank").cast("long").as("rank"))
   }
+
+  // ---- compressed segment (WAND) path ---------------------------------
+
+  private val segCache = scala.collection.concurrent.TrieMap[String, SegmentIndex]()
+
+  /** Segment index over the same documents corpus: compressed delta+VByte
+    * postings, doc-sharded, queried via block-max WAND — the 100 TB path,
+    * wired through the driver gate so DuckDB checks it too.
+    */
+  def segmentIndex(spark: SparkSession, sfDir: String): SegmentIndex =
+    segCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-segidx").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      SegmentStore.build(docs, "doc_id", DocFields, dir, docsPerShard = 128)
+      SegmentStore.open(spark, dir).cached()
+    })
+
+  /** Segment-path top-k, same output shape as [[topk]]. */
+  def topkSeg(spark: SparkSession, sfDir: String, q: String, k: Int = 10): DataFrame = {
+    val s = new SegmentSearcher(segmentIndex(spark, sfDir), SearchOptions(limit = k))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("docId").asc)
+    s.search(q)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"), col("rank"))
+  }
 }

@@ -70,7 +70,15 @@ object SparkEntry {
       searcher(s, d).rewriteDebug("spark merge").toSeq
         .map { case ((_, term), n) => (term, n) }
         .toDF("term", "df")
-    }))
+    }),
+    // §2.5 compressed segment store + §4 block-max WAND path (the 100 TB
+    // design): same queries through delta+VByte postings with skip blocks
+    "seg_term" -> ((s, d) => Engine.topkSeg(s, d, "dup")),
+    "seg_or" -> ((s, d) => Engine.topkSeg(s, d, "spark merge")),
+    "seg_and" -> ((s, d) => Engine.topkSeg(s, d, "spark AND merge")),
+    "seg_phrase" -> ((s, d) => Engine.topkSeg(s, d, "\"merge batch\"")),
+    "seg_field" -> ((s, d) => Engine.topkSeg(s, d, "lang:es AND dup")),
+    "seg_prefix" -> ((s, d) => Engine.topkSeg(s, d, "sp*")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -99,5 +107,11 @@ object SparkEntry {
     "ft_multi" -> multi(Seq(
       (Nil, Seq(OTerm("dup")), 10),
       (Seq(OTerm("spark"), OTerm("merge")), Nil, 10))),
-    "ft_df" -> docFreqs(Seq("merge", "spark")))
+    "ft_df" -> docFreqs(Seq("merge", "spark")),
+    "seg_term" -> topk(shoulds = Seq(OTerm("dup"))),
+    "seg_or" -> topk(shoulds = Seq(OTerm("spark"), OTerm("merge"))),
+    "seg_and" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
+    "seg_phrase" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")))),
+    "seg_field" -> topk(musts = Seq(OStringTerm("lang", "es"), OTerm("dup"))),
+    "seg_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))))
 }

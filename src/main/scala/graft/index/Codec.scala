@@ -1,0 +1,145 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Posting-list compression: delta-encoded docIDs in VByte blocks of 128
+  * with per-block skip/block-max metadata — the from-scratch rebuild of the
+  * posting layer the reference delegates to Lucene's codec (SURVEY.md §2.5,
+  * [Lucene public semantics]; block-max metadata per Ding & Suel 2011 for
+  * WAND pruning, which the north rule mandates).
+  *
+  * Per block:
+  *  - `firstDoc`/`lastDoc`: skip bounds for `advance(target)`
+  *  - `maxTf`, `maxTfNorm`: block-max score bound. `maxTfNorm` is the BM25
+  *    tf-normalization part `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` maximized
+  *    over the block's docs — multiply by a term's idf to get the exact
+  *    block score upper bound (avgdl is fixed at encode time from field
+  *    stats).
+  *  - docIDs delta-VByte; tf and dl VByte; positions delta-VByte per doc
+  *    (tf of them), enabling phrase queries.
+  */
+object Codec {
+
+  val BlockSize = 128
+
+  final case class Block(
+      firstDoc: Long,
+      lastDoc: Long,
+      count: Int,
+      maxTf: Int,
+      maxTfNorm: Double,
+      docBytes: Array[Byte],
+      tfBytes: Array[Byte],
+      dlBytes: Array[Byte],
+      posBytes: Array[Byte])
+
+  /** One decoded posting. */
+  final case class Decoded(docId: Long, tf: Int, dl: Int, positions: Array[Int])
+
+  // ---- VByte ----------------------------------------------------------
+  def writeVLong(out: ArrayBuffer[Byte], v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"vlong must be non-negative: $v")
+    while ((v & ~0x7fL) != 0) {
+      out += ((v & 0x7f) | 0x80).toByte
+      v >>>= 7
+    }
+    out += v.toByte
+  }
+
+  /** Reads a VLong from `bytes` at `pos`; returns (value, newPos). */
+  def readVLong(bytes: Array[Byte], pos: Int): (Long, Int) = {
+    var p = pos
+    var shift = 0
+    var v = 0L
+    var b = bytes(p)
+    while ((b & 0x80) != 0) {
+      v |= (b & 0x7fL) << shift
+      shift += 7
+      p += 1
+      b = bytes(p)
+    }
+    v |= (b & 0x7fL) << shift
+    (v, p + 1)
+  }
+
+  // ---- encode ----------------------------------------------------------
+  /** Encode one docId-sorted posting run into blocks. `avgdl` fixes the
+    * block-max tf-norm bound.
+    */
+  def encode(run: Iterator[Decoded], avgdl: Double): Vector[Block] = {
+    val blocks = Vector.newBuilder[Block]
+    val buf = new ArrayBuffer[Decoded](BlockSize)
+    def flush(): Unit = {
+      if (buf.nonEmpty) {
+        val docB = new ArrayBuffer[Byte]()
+        val tfB = new ArrayBuffer[Byte]()
+        val dlB = new ArrayBuffer[Byte]()
+        val posB = new ArrayBuffer[Byte]()
+        var prev = buf.head.docId
+        writeVLong(docB, prev) // first docId absolute
+        var maxTf = 0
+        var maxNorm = 0.0
+        buf.foreach { d =>
+          if (d.docId != buf.head.docId) {
+            writeVLong(docB, d.docId - prev)
+            prev = d.docId
+          }
+          writeVLong(tfB, d.tf.toLong)
+          writeVLong(dlB, d.dl.toLong)
+          var pPrev = 0
+          d.positions.foreach { p =>
+            writeVLong(posB, (p - pPrev).toLong)
+            pPrev = p
+          }
+          if (d.tf > maxTf) maxTf = d.tf
+          val norm = d.tf * (IndexBuilder.K1 + 1.0) /
+            (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * d.dl))
+          if (norm > maxNorm) maxNorm = norm
+        }
+        blocks += Block(buf.head.docId, buf.last.docId, buf.length, maxTf, maxNorm,
+          docB.toArray, tfB.toArray, dlB.toArray, posB.toArray)
+        buf.clear()
+      }
+    }
+    run.foreach { d =>
+      buf += d
+      if (buf.length == BlockSize) flush()
+    }
+    flush()
+    blocks.result()
+  }
+
+  // ---- decode ----------------------------------------------------------
+  def decode(b: Block): Array[Decoded] = {
+    val out = new Array[Decoded](b.count)
+    var docPos = 0
+    var tfPos = 0
+    var dlPos = 0
+    var posPos = 0
+    var doc = 0L
+    var i = 0
+    while (i < b.count) {
+      val (delta, np) = readVLong(b.docBytes, docPos)
+      docPos = np
+      doc = if (i == 0) delta else doc + delta
+      val (tf, ntf) = readVLong(b.tfBytes, tfPos)
+      tfPos = ntf
+      val (dl, ndl) = readVLong(b.dlBytes, dlPos)
+      dlPos = ndl
+      val positions = new Array[Int](tf.toInt)
+      var p = 0
+      var j = 0
+      while (j < tf.toInt) {
+        val (d, npp) = readVLong(b.posBytes, posPos)
+        posPos = npp
+        p += d.toInt
+        positions(j) = p
+        j += 1
+      }
+      out(i) = Decoded(doc, tf.toInt, dl.toInt, positions)
+      i += 1
+    }
+    out
+  }
+}

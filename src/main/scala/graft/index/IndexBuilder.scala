@@ -57,9 +57,13 @@ object IndexBuilder {
   def idf(df: Long, n: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
-  /** BM25 term score for one posting. */
+  /** BM25 term score for one posting — the expression shape (association
+    * order) is kept identical across the DataFrame path (Searcher.bm25Col),
+    * the segment scorer, and the test oracle so all paths produce
+    * bit-identical doubles.
+    */
   def bm25(tf: Double, idf: Double, dl: Double, avgdl: Double): Double =
-    idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    idf * tf * (K1 + 1.0) / (tf + K1 * ((1.0 - B) + (B / avgdl) * dl))
 
   def tokenizePostings(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[Posting] = {
     val spark = docs.sparkSession

@@ -1,0 +1,330 @@
+package graft.index
+
+import graft.index.Codec.{Block, Decoded}
+
+/** Doc-at-a-time scorers over compressed posting runs — the per-shard query
+  * kernel of the segment path (SURVEY.md §3.1 "our Spark lifecycle"): each
+  * shard evaluates the whole query tree locally over its decoded blocks and
+  * emits a local top-k; the driver merges. Skip data (`Block.lastDoc`) makes
+  * `advance(target)` sub-linear; block-max metadata (`Block.maxTfNorm`)
+  * powers WAND pruning (Ding & Suel 2011; north-rule requirement).
+  */
+object Scorers {
+
+  val NoMoreDocs: Long = Long.MaxValue
+
+  /** Cursor over one term's blocks within a shard. Blocks are decoded
+    * lazily — advancing past a block via its skip entry never decodes it.
+    */
+  final class TermIterator(blocks: IndexedSeq[Block]) {
+    private var bi = 0
+    private var decoded: Array[Decoded] = _
+    private var di = 0
+
+    advanceBlock()
+
+    private def advanceBlock(): Unit = {
+      decoded = null
+      di = 0
+      if (bi < blocks.length) { decoded = Codec.decode(blocks(bi)) }
+    }
+
+    def doc: Long = if (decoded == null) NoMoreDocs else decoded(di).docId
+    def current: Decoded = decoded(di)
+
+    def next(): Unit = {
+      if (decoded != null) {
+        di += 1
+        if (di >= decoded.length) { bi += 1; advanceBlock() }
+      }
+    }
+
+    /** First doc >= target, skipping whole blocks via lastDoc. */
+    def advance(target: Long): Unit = {
+      if (decoded != null && decoded(decoded.length - 1).docId < target) {
+        // skip blocks without decoding
+        decoded = null
+        bi += 1
+        while (bi < blocks.length && blocks(bi).lastDoc < target) bi += 1
+        advanceBlock()
+        di = 0
+      }
+      while (decoded != null && decoded(di).docId < target) next()
+    }
+
+    /** Upper bound of the tf-norm over the remaining blocks (monotone
+      * shrink as blocks are consumed would need a suffix max; we use the
+      * global max — still a valid bound).
+      */
+    lazy val maxTfNorm: Double = if (blocks.isEmpty) 0.0 else blocks.map(_.maxTfNorm).max
+
+    /** Block-local bound for the current block. */
+    def blockMaxTfNorm: Double = if (bi < blocks.length) blocks(bi).maxTfNorm else 0.0
+
+    /** Skip bound: last doc of the current block (callers may jump past). */
+    def blockLastDoc: Long = if (bi < blocks.length) blocks(bi).lastDoc else NoMoreDocs
+  }
+
+  /** Query-tree scorer: a cursor with scores. */
+  sealed trait DocScorer {
+    def doc: Long
+    def next(): Unit
+    def advance(target: Long): Unit
+    /** Score of the current doc (only valid when doc != NoMoreDocs). */
+    def score: Double
+    /** Upper bound on any future score. */
+    def maxScore: Double
+  }
+
+  /** BM25 term scorer: weight = idf (times boost). */
+  final class TermScorer(it: TermIterator, weight: Double) extends DocScorer {
+    def doc: Long = it.doc
+    def next(): Unit = it.next()
+    def advance(target: Long): Unit = it.advance(target)
+    def score: Double = {
+      val d = it.current
+      weight * d.tf * (IndexBuilder.K1 + 1.0) /
+        (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + bOverAvgdl * d.dl))
+    }
+    def maxScore: Double = weight * it.maxTfNorm
+    def blockMaxScore: Double = weight * it.blockMaxTfNorm
+    def blockLastDoc: Long = it.blockLastDoc
+    private var bOverAvgdl: Double = 0.0
+    def withAvgdl(avgdl: Double): TermScorer = { bOverAvgdl = IndexBuilder.B / avgdl; this }
+  }
+
+  /** Exact-phrase scorer: conjunction of the terms' iterators + consecutive
+    * position check; tf = phrase frequency, weight = Σ idf.
+    */
+  final class PhraseScorer(its: IndexedSeq[TermIterator], weight: Double, avgdl: Double)
+      extends DocScorer {
+    private var curDoc: Long = -1L
+    private var curFreq: Int = 0
+    private var curDl: Int = 0
+    findNext(0L)
+
+    private def alignAll(target0: Long): Long = {
+      // leapfrog all iterators to a common doc
+      var target = target0
+      var aligned = false
+      while (!aligned) {
+        its.foreach(_.advance(target))
+        if (its.exists(_.doc == NoMoreDocs)) return NoMoreDocs
+        val max = its.map(_.doc).max
+        if (its.forall(_.doc == max)) { aligned = true; target = max }
+        else target = max
+      }
+      target
+    }
+
+    private def phraseFreq(): Int = {
+      val sets = its.map(it => it.current.positions)
+      val first = sets.head
+      var f = 0
+      var i = 0
+      while (i < first.length) {
+        val p = first(i)
+        var ok = true
+        var j = 1
+        while (ok && j < sets.length) {
+          ok = java.util.Arrays.binarySearch(sets(j), p + j) >= 0
+          j += 1
+        }
+        if (ok) f += 1
+        i += 1
+      }
+      f
+    }
+
+    private def findNext(target: Long): Unit = {
+      var t = target
+      curDoc = NoMoreDocs
+      var done = false
+      while (!done) {
+        val d = alignAll(t)
+        if (d == NoMoreDocs) { done = true }
+        else {
+          val f = phraseFreq()
+          if (f > 0) {
+            curDoc = d
+            curFreq = f
+            curDl = its.head.current.dl
+            done = true
+          } else t = d + 1
+        }
+      }
+    }
+
+    def doc: Long = curDoc
+    def next(): Unit = if (curDoc != NoMoreDocs) findNext(curDoc + 1)
+    def advance(target: Long): Unit = if (curDoc < target) findNext(target)
+    def score: Double =
+      weight * curFreq * (IndexBuilder.K1 + 1.0) /
+        (curFreq + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * curDl))
+    def maxScore: Double = weight * (IndexBuilder.K1 + 1.0) // tf-norm < k1+1
+  }
+
+  /** Constant-score disjunction over expanded terms (prefix/wildcard/fuzzy/
+    * range rewrites) — Lucene CONSTANT_SCORE_REWRITE.
+    */
+  final class ConstScorer(its: IndexedSeq[TermIterator], weight: Double = 1.0) extends DocScorer {
+    def doc: Long = if (its.isEmpty) NoMoreDocs else its.map(_.doc).min
+    def next(): Unit = { val d = doc; its.foreach(it => if (it.doc == d) it.next()) }
+    def advance(target: Long): Unit = its.foreach(_.advance(target))
+    def score: Double = weight
+    def maxScore: Double = weight
+  }
+
+  final class BoostScorer(inner: DocScorer, boost: Double) extends DocScorer {
+    def doc: Long = inner.doc
+    def next(): Unit = inner.next()
+    def advance(target: Long): Unit = inner.advance(target)
+    def score: Double = inner.score * boost
+    def maxScore: Double = inner.maxScore * boost
+  }
+
+  /** General boolean scorer: MUST leapfrog conjunction, SHOULD sum-if-
+    * present, MUST_NOT exclusion. With no MUSTs it is a plain disjunction
+    * (use [[wandTopK]] for the pruned pure-term case).
+    */
+  final class BoolScorer(
+      musts: IndexedSeq[DocScorer],
+      shoulds: IndexedSeq[DocScorer],
+      nots: IndexedSeq[DocScorer]) extends DocScorer {
+    private var curDoc: Long = -1L
+    findNext(0L)
+
+    private def findNext(target0: Long): Unit = {
+      var target = target0
+      curDoc = NoMoreDocs
+      var done = false
+      while (!done) {
+        val cand: Long =
+          if (musts.nonEmpty) {
+            // leapfrog conjunction
+            musts.foreach(_.advance(target))
+            if (musts.exists(_.doc == NoMoreDocs)) NoMoreDocs
+            else {
+              val max = musts.map(_.doc).max
+              if (musts.forall(_.doc == max)) max else { target = max; -1L }
+            }
+          } else {
+            shoulds.foreach(s => if (s.doc < target) s.advance(target))
+            val m = shoulds.map(_.doc).min
+            m
+          }
+        if (cand == NoMoreDocs) done = true
+        else if (cand >= 0) {
+          // excluded?
+          val excluded = nots.exists { n =>
+            n.advance(cand); n.doc == cand
+          }
+          if (!excluded) { curDoc = cand; done = true }
+          else target = cand + 1
+        }
+        // cand == -1 → musts not aligned yet, loop with new target
+      }
+    }
+
+    def doc: Long = curDoc
+    def next(): Unit = if (curDoc != NoMoreDocs) findNext(curDoc + 1)
+    def advance(target: Long): Unit = if (curDoc < target) findNext(target)
+    def score: Double = {
+      var s = 0.0
+      musts.foreach(m => s += m.score)
+      shoulds.foreach { sh =>
+        if (sh.doc < curDoc) sh.advance(curDoc)
+        if (sh.doc == curDoc) s += sh.score
+      }
+      s
+    }
+    def maxScore: Double = (musts ++ shoulds).map(_.maxScore).sum
+  }
+
+  /** Bounded top-k heap ordered by (score desc, docId asc): the worst entry
+    * is the head. Inserting docs in ascending docId order means equal-score
+    * later docs correctly lose ties.
+    */
+  final class TopKHeap(k: Int) {
+    private val ord = Ordering.by[(Long, Double), (Double, Long)] { case (d, s) => (s, -d) }
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord.reverse)
+    def threshold: Double = if (heap.size < k) -1.0 else heap.head._2
+    def offer(doc: Long, score: Double): Unit = {
+      if (heap.size < k) heap.enqueue((doc, score))
+      else if (score > heap.head._2) { heap.dequeue(); heap.enqueue((doc, score)) }
+    }
+    def result: Seq[(Long, Double)] = heap.toSeq.sortBy { case (d, s) => (-s, d) }
+  }
+
+  /** Exhaustive top-k evaluation of any scorer tree. */
+  def exhaustiveTopK(root: DocScorer, k: Int): Seq[(Long, Double)] = {
+    val heap = new TopKHeap(k)
+    while (root.doc != NoMoreDocs) {
+      heap.offer(root.doc, root.score)
+      root.next()
+    }
+    heap.result
+  }
+
+  /** Block-max WAND over a pure disjunction of term scorers: skip any doc
+    * whose summed term upper bounds cannot beat the current kth score; on a
+    * pivot, re-check with the (tighter) current-block bounds before scoring
+    * (Ding & Suel 2011).
+    */
+  def wandTopK(terms: IndexedSeq[TermScorer], k: Int): Seq[(Long, Double)] = {
+    val heap = new TopKHeap(k)
+    // canonical clause order for the float sum: scores are accumulated in
+    // the caller's term order regardless of cursor order, so results are
+    // bit-identical to clause-ordered summation (SURVEY.md §7 hard parts:
+    // "fix float summation order")
+    val clauseOrd: Map[TermScorer, Int] = terms.zipWithIndex.toMap
+    val its = terms.toArray
+    var live = its.filter(_.doc != NoMoreDocs)
+    while (live.nonEmpty) {
+      java.util.Arrays.sort(live, Ordering.by((s: TermScorer) => s.doc))
+      val threshold = heap.threshold
+      // find pivot: smallest prefix whose Σ maxScore can beat threshold
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (p < 0 && i < live.length) {
+        acc += live(i).maxScore
+        if (acc > threshold) p = i
+        i += 1
+      }
+      if (p < 0) return heap.result // no combination can beat threshold
+      val pivotDoc = live(p).doc
+      if (live(0).doc == pivotDoc) {
+        // all candidates aligned on pivotDoc. Block-max refinement over ALL
+        // iterators positioned on pivotDoc (not just the pivot prefix — a
+        // later iterator sharing the doc contributes too).
+        val matching = live.takeWhile(_.doc == pivotDoc)
+        var blockBound = 0.0
+        matching.foreach(t => blockBound += t.blockMaxScore)
+        if (blockBound > threshold) {
+          val ordered = matching.sortBy(clauseOrd)
+          var s = 0.0
+          ordered.foreach(t => s += t.score)
+          heap.offer(pivotDoc, s)
+          matching.foreach(_.next())
+        } else {
+          // These blocks can't beat the threshold anywhere: jump past the
+          // nearest matching-block end, but never past the first
+          // non-matching iterator's doc (it would raise the bound).
+          var minBlockEnd = NoMoreDocs
+          matching.foreach(t => if (t.blockLastDoc < minBlockEnd) minBlockEnd = t.blockLastDoc)
+          val cap =
+            if (matching.length < live.length) live(matching.length).doc else NoMoreDocs
+          val target = math.min(math.min(minBlockEnd, NoMoreDocs - 1) + 1, cap)
+          matching.foreach(_.advance(target))
+        }
+      } else {
+        // advance the leading iterators to the pivot
+        var n = 0
+        while (live(n).doc < pivotDoc) { live(n).advance(pivotDoc); n += 1 }
+      }
+      live = live.filter(_.doc != NoMoreDocs)
+    }
+    heap.result
+  }
+}

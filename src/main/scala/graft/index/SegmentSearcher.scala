@@ -1,0 +1,197 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.Codec.Block
+import graft.index.Scorers._
+import graft.query._
+
+/** Physical query plan shipped to each shard: the bound query tree with all
+  * global statistics (idf, avgdl) resolved to constants on the driver —
+  * exactly what Lucene does when it builds Weights from TermStates before
+  * per-segment scoring.
+  */
+sealed trait SQ extends Serializable
+final case class STerm(field: String, term: String, weight: Double, avgdl: Double) extends SQ
+final case class SPhrase(field: String, terms: Seq[String], weight: Double, avgdl: Double) extends SQ
+final case class SConst(field: String, terms: Seq[String]) extends SQ
+final case class SBool(musts: Seq[SQ], shoulds: Seq[SQ], nots: Seq[SQ]) extends SQ
+final case class SBoost(inner: SQ, boost: Double) extends SQ
+case object SEmpty extends SQ
+
+/** Distributed top-k over the compressed, doc-sharded segment store — the
+  * 100 TB query path. Execution: a partition-pruned scan of the query
+  * terms' segment rows (a few rows per shard), one small shuffle grouping
+  * them by shard, per-shard block-max WAND / doc-at-a-time scoring in
+  * `flatMapGroups`, then a global TakeOrdered merge of ≤ shards×k rows.
+  * The corpus-sized data never moves: only the query's posting lists do.
+  */
+final class SegmentSearcher(si: SegmentIndex, opts: SearchOptions = SearchOptions(limit = 10)) {
+
+  private val spark = si.segments.sparkSession
+
+  private def isText(f: String): Boolean =
+    si.fields.exists(fd => fd.indexField == f && fd.kind.isInstanceOf[TextField])
+
+  private def analyzerFor(f: String): graft.analysis.Analyzer =
+    si.fields.collectFirst { case FieldDef(`f`, _, TextField(a)) => a }
+      .getOrElse(graft.analysis.Analyzers.Keyword)
+
+  def parse(q: String): Query =
+    QueryBind.bind(
+      new QueryParser(opts.defaultField, opts.defaultOperatorAnd, opts.allowLeadingWildcard).parse(q),
+      isText, analyzerFor)
+
+  // ---- driver-side planning -------------------------------------------
+
+  private def collectTerms(q: Query): Seq[(String, String)] = q match {
+    case TermQ(f, t) => Seq((f, t))
+    case PhraseQ(f, ts, _) => ts.map((f, _))
+    case BoolQ(cs) => cs.flatMap(c => collectTerms(c.q))
+    case BoostQ(inner, _) => collectTerms(inner)
+    case _ => Nil
+  }
+
+  private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), TermStats] = {
+    if (terms.isEmpty) return Map.empty
+    val cond = terms.distinct
+      .map { case (f, t) => (col("field") === f) && (col("term") === t) }
+      .reduce(_ || _)
+    si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+  }
+
+  private def expand(f: String, pred: String => Boolean): Seq[String] = {
+    import spark.implicits._
+    si.termStats.filter(col("field") === f).select(col("term")).as[String]
+      .collect().filter(pred).toSeq
+  }
+
+  /** Resolve the bound AST to the shipped plan. */
+  def plan(q: Query): SQ = {
+    val stats = lookupStats(collectTerms(q))
+    def weight(f: String, t: String): Option[Double] =
+      stats.get((f, t)).map(st => IndexBuilder.idf(st.df, si.fieldStats(f).docCount))
+    def go(q: Query): SQ = q match {
+      case EmptyQ => SEmpty
+      case TermQ(f, t) =>
+        weight(f, t).map(w => STerm(f, t, w, si.fieldStats(f).avgdl)).getOrElse(SEmpty)
+      case PhraseQ(f, terms, _) =>
+        val ws = terms.map(weight(f, _))
+        if (ws.exists(_.isEmpty)) SEmpty
+        else SPhrase(f, terms, ws.flatten.sum, si.fieldStats(f).avgdl)
+      case BoolQ(cs) =>
+        val m = cs.filter(_.occur == Occur.Must).map(c => go(c.q))
+        val s = cs.filter(_.occur == Occur.Should).map(c => go(c.q))
+        val n = cs.filter(_.occur == Occur.MustNot).map(c => go(c.q)).filter(_ != SEmpty)
+        if (m.contains(SEmpty)) SEmpty // a MUST that matches nothing kills the query
+        else {
+          val s2 = s.filter(_ != SEmpty)
+          if (m.isEmpty && s2.isEmpty) SEmpty else SBool(m, s2, n)
+        }
+      case BoostQ(inner, b) =>
+        val i = go(inner)
+        if (i == SEmpty) SEmpty else SBoost(i, b)
+      case PrefixQ(f, p) => constOf(f, expand(f, _.startsWith(p)))
+      case WildcardQ(f, pat) =>
+        val re = QueryBind.wildcardRegex(pat).r
+        constOf(f, expand(f, t => re.findFirstIn(t).isDefined))
+      case FuzzyQ(f, t, e) =>
+        constOf(f, expand(f, cand => Levenshtein(cand, t) <= e))
+      case TermRangeQ(f, lo, hi, incLo, incHi) =>
+        constOf(f, expand(f, t =>
+          lo.forall(v => if (incLo) t >= v else t > v) && hi.forall(v => if (incHi) t <= v else t < v)))
+      case MatchAllQ | _: NumRangeQ | _: NumTermQ =>
+        throw new UnsupportedOperationException(
+          "doc-value predicates run on the DataFrame path (Searcher); segment path serves postings queries")
+    }
+    go(q)
+  }
+
+  private def constOf(f: String, terms: Seq[String]): SQ =
+    if (terms.isEmpty) SEmpty else SConst(f, terms)
+
+  // ---- distributed execution -------------------------------------------
+
+  /** (docId, score) top-k DataFrame, ordered (score desc, docId asc). */
+  def search(q: String): DataFrame = {
+    val sq = plan(parse(q))
+    val k = opts.skip + opts.limit
+    import spark.implicits._
+    if (sq == SEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+    val leaves = SegmentSearcher.leafTerms(sq)
+    val cond = leaves.map { case (f, t) => (col("field") === f) && (col("term") === t) }.reduce(_ || _)
+    val perShard = si.segments
+      .filter(cond)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, rows) =>
+        val byTerm = rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
+          key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
+        }
+        SegmentSearcher.shardTopK(sq, byTerm, k).iterator
+      }
+    perShard.toDF("docId", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  def topK(q: String): Seq[(Long, Double)] =
+    search(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .drop(opts.skip)
+
+  private object Levenshtein {
+    def apply(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+  }
+}
+
+object SegmentSearcher {
+
+  def leafTerms(sq: SQ): Seq[(String, String)] = sq match {
+    case STerm(f, t, _, _) => Seq((f, t))
+    case SPhrase(f, ts, _, _) => ts.map((f, _))
+    case SConst(f, ts) => ts.map((f, _))
+    case SBool(m, s, n) => (m ++ s ++ n).flatMap(leafTerms)
+    case SBoost(i, _) => leafTerms(i)
+    case SEmpty => Nil
+  }
+
+  private def emptyIter: TermIterator = new TermIterator(Vector.empty[Block])
+
+  def buildScorer(sq: SQ, byTerm: Map[(String, String), IndexedSeq[Block]]): DocScorer = sq match {
+    case STerm(f, t, w, avgdl) =>
+      new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)
+    case SPhrase(f, ts, w, avgdl) =>
+      new PhraseScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq, w, avgdl)
+    case SConst(f, ts) =>
+      new ConstScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq)
+    case SBoost(inner, b) => new BoostScorer(buildScorer(inner, byTerm), b)
+    case SBool(m, s, n) =>
+      new BoolScorer(
+        m.map(buildScorer(_, byTerm)).toIndexedSeq,
+        s.map(buildScorer(_, byTerm)).toIndexedSeq,
+        n.map(buildScorer(_, byTerm)).toIndexedSeq)
+    case SEmpty => new ConstScorer(IndexedSeq(emptyIter))
+  }
+
+  /** Per-shard top-k: block-max WAND for a pure term disjunction, exhaustive
+    * doc-at-a-time otherwise.
+    */
+  def shardTopK(sq: SQ, byTerm: Map[(String, String), IndexedSeq[Block]], k: Int): Seq[(Long, Double)] =
+    sq match {
+      case STerm(f, t, w, avgdl) =>
+        wandTopK(IndexedSeq(
+          new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)), k)
+      case SBool(m, shoulds, n) if m.isEmpty && n.isEmpty && shoulds.forall(_.isInstanceOf[STerm]) =>
+        wandTopK(shoulds.map { case STerm(f, t, w, avgdl) =>
+          new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)
+        }.toIndexedSeq, k)
+      case other =>
+        exhaustiveTopK(buildScorer(other, byTerm), k)
+    }
+}

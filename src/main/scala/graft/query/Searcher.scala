@@ -122,32 +122,8 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
   /** Analyze TEXT-field terms with the field's analyzer; stop words drop the
     * clause (Lucene parser returns null). STRING fields match exactly.
     */
-  private def bind(q: Query): Query = q match {
-    case TermQ(f, t) if index.isTextField(f) =>
-      index.analyzerFor(f).queryTerms(t) match {
-        case Seq() => EmptyQ
-        case Seq(one) => TermQ(f, one)
-        case many => BoolQ(many.map(m => Clause(Occur.Should, TermQ(f, m))))
-      }
-    case PhraseQ(f, terms, slop) if index.isTextField(f) =>
-      val analyzed = terms.flatMap(index.analyzerFor(f).queryTerms(_))
-      if (analyzed.isEmpty) EmptyQ
-      else if (analyzed.length == 1) TermQ(f, analyzed.head)
-      else PhraseQ(f, analyzed, slop)
-    case PhraseQ(f, terms, slop) => if (terms.length == 1) TermQ(f, terms.head) else PhraseQ(f, terms, slop)
-    case BoolQ(cs) =>
-      val bound = cs.map(c => c.copy(q = bind(c.q))).filter(_.q != EmptyQ)
-      if (bound.isEmpty) EmptyQ
-      else if (bound.length == 1 && bound.head.occur != Occur.MustNot) bound.head.q
-      else BoolQ(bound)
-    case BoostQ(inner, b) =>
-      val bi = bind(inner)
-      if (bi == EmptyQ) EmptyQ else BoostQ(bi, b)
-    case PrefixQ(f, p) if index.isTextField(f) => PrefixQ(f, p.toLowerCase(java.util.Locale.ROOT))
-    case WildcardQ(f, p) if index.isTextField(f) => WildcardQ(f, p.toLowerCase(java.util.Locale.ROOT))
-    case FuzzyQ(f, t, e) if index.isTextField(f) => FuzzyQ(f, t.toLowerCase(java.util.Locale.ROOT), e)
-    case other => other
-  }
+  private def bind(q: Query): Query =
+    QueryBind.bind(q, index.isTextField, index.analyzerFor)
 
   // ---------------- statistics -----------------------------------------
 
@@ -260,13 +236,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       constantScore(f, col("term").startsWith(p))
 
     case WildcardQ(f, pat) =>
-      val regex = "^" + pat.flatMap {
-        case '*' => ".*"
-        case '?' => "."
-        case c if "\\.[]{}()^$|+".contains(c) => "\\" + c
-        case c => c.toString
-      } + "$"
-      constantScore(f, col("term").rlike(regex))
+      constantScore(f, col("term").rlike(QueryBind.wildcardRegex(pat)))
 
     case FuzzyQ(f, t, maxEdits) =>
       constantScore(f, levenshtein(col("term"), lit(t)) <= maxEdits)

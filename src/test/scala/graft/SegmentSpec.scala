@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzers
+import graft.data.TranscriptGen
+import graft.index._
+import graft.query.{SearchOptions, Searcher}
+
+/** Segment (compressed, doc-sharded, WAND) path ≡ DataFrame path ≡ oracle,
+  * plus staged-build resumability (SURVEY.md §5.2 items 3–5).
+  */
+class SegmentSpec extends SparkSpec {
+
+  private val fields = Seq(
+    FieldDef("default", "text", TextField(Analyzers.Standard)),
+    FieldDef("role", "role", StringField),
+    FieldDef("tool", "tool", StringField))
+
+  private lazy val docs = {
+    val turns = TranscriptGen.transcripts(spark, 100)
+    DocIds.assign(turns.toDF(), Seq("conv_id", "turn_idx"), "docId", 8).persist()
+  }
+
+  private lazy val tmp: Path = Files.createTempDirectory("graft-seg")
+
+  private lazy val segIndex: SegmentIndex = {
+    SegmentStore.build(docs, "docId", fields, tmp.toString, docsPerShard = 257)
+    SegmentStore.open(spark, tmp.toString).cached()
+  }
+
+  private lazy val dfIndex = IndexBuilder.build(docs, "docId", fields).cached()
+
+  private val queries = Seq(
+    "hello", "paxos", "hello world", "hello AND world",
+    "\"paxos made simple\"", "\"hello world\"",
+    "role:assistant AND consensus", "tool:bash AND error",
+    "hello -world", "lead*", "quor?m", "paxoss~1",
+    "merge^2 OR shuffle", "(hello OR world) AND retry")
+
+  test("segment path matches the DataFrame path rank-identically") {
+    queries.foreach { q =>
+      val seg = new SegmentSearcher(segIndex, SearchOptions(limit = 10)).topK(q)
+      val df = new Searcher(dfIndex, SearchOptions(limit = 10)).search(q)
+        .select("docId", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(seg.map(_._1) === df.map(_._1), s"docIds differ for q=$q")
+      seg.zip(df).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"score differs for q=$q: $a vs $b")
+      }
+    }
+  }
+
+  test("hot terms split across multiple runs and reassemble") {
+    import spark.implicits._
+    // role:user is a hot term by construction; with tiny shards it must
+    // produce many SegmentRows, all disjoint and ordered
+    val rows = segIndex.segments.filter($"field" === "role" && $"term" === "user")
+      .collect().sortBy(_.minDoc)
+    assert(rows.length > 1)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.maxDoc < b.minDoc)
+      case _ =>
+    }
+    // df over the runs sums to the stats-table df
+    val statDf = segIndex.termStats.filter($"field" === "role" && $"term" === "user")
+      .head().df
+    assert(rows.map(_.df).sum === statDf)
+  }
+
+  test("staged build is resumable: failpoint between stages, rerun completes identically") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    intercept[RuntimeException] {
+      SegmentStore.build(docs, "docId", fields, dir, docsPerShard = 257, failAfterStage = Some("stats"))
+    }
+    assert(SegmentStore.stageDone(dir, "spec"))
+    assert(SegmentStore.stageDone(dir, "stats"))
+    assert(!SegmentStore.stageDone(dir, "segments"))
+    val statsMtime = Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/checkpoints/stats.json"))
+    // resume
+    SegmentStore.build(docs, "docId", fields, dir, docsPerShard = 257)
+    assert(SegmentStore.stageDone(dir, "segments"))
+    // completed stages were NOT recomputed
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/checkpoints/stats.json")) === statsMtime)
+    // the resumed index answers identically to the uninterrupted one
+    val resumed = SegmentStore.open(spark, dir)
+    queries.take(5).foreach { q =>
+      val a = new SegmentSearcher(resumed, SearchOptions(limit = 10)).topK(q)
+      val b = new SegmentSearcher(segIndex, SearchOptions(limit = 10)).topK(q)
+      assert(a === b, s"resumed index differs for q=$q")
+    }
+  }
+
+  test("per-partition lineage rows with row/term/byte metrics exist and reconcile") {
+    import spark.implicits._
+    segIndex // force build
+    val lineage = spark.read.parquet(s"$tmp/lineage").as[LineageRow].collect()
+    assert(lineage.nonEmpty)
+    assert(lineage.forall(_.stage == "segments"))
+    assert(lineage.forall(l => l.rowsIn > 0 && l.rowsOut > 0 && l.bytesOut > 0))
+    // total postings in == total postings tokenized
+    val totalPostings = IndexBuilder.tokenizePostings(docs, "docId", fields).count()
+    assert(lineage.map(_.rowsIn).sum === totalPostings)
+    // checkpoints carry metrics
+    val ckpt = Files.readString(java.nio.file.Paths.get(s"$tmp/checkpoints/segments.json"))
+    assert(ckpt.contains("segmentRows") && ckpt.contains("postingBytes"))
+  }
+}
