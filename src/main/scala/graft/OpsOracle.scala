@@ -1,0 +1,280 @@
+package graft
+
+import graft.analysis.Analyzers
+
+/** DuckDB oracle SQL for the training-data pipeline operators (dedup /
+  * similarity / text analysis / multimodal metadata) and the relational
+  * coverage queries. Hashing is md5-derived in both engines
+  * (`('0x'||substr(md5(x),1,15))::BIGINT` ≡ Spark
+  * `conv(substring(md5(x),1,15),16,10)`), so signatures match bit-for-bit.
+  */
+object OpsOracle {
+
+  private val stopList = Analyzers.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  private def h64(expr: String): String = s"('0x'||substr(md5($expr),1,15))::BIGINT"
+  private def h32(expr: String): String = s"('0x'||substr(md5($expr),1,8))::BIGINT"
+
+  /** tokens with positions + word-3-gram shingles over documents. */
+  private val shingleCtes: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+      |         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT t1.doc_id AS doc_id, t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+      |  FROM tok t1
+      |  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      |  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+      |)""".stripMargin
+
+  val dedupExact: String =
+    """WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+      |c AS (SELECT content_md5, min(doc_id) AS canonical_id FROM h GROUP BY content_md5)
+      |SELECT h.doc_id AS doc_id, c.canonical_id AS canonical_id,
+      |       h.doc_id <> c.canonical_id AS is_dup
+      |FROM h JOIN c USING (content_md5)""".stripMargin
+
+  def minhashSig(numHashes: Int = 8): String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${h64(s"shingle || '#$i'")}) AS h$i").mkString(",\n       ")
+    s"""WITH $shingleCtes
+       |SELECT doc_id,
+       |       $mins
+       |FROM sh GROUP BY doc_id""".stripMargin
+  }
+
+  def minhashPairs(numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${h64(s"shingle || '#$i'")}) AS h$i").mkString(", ")
+    val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
+      val key = (s"'$b'" +: (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}::VARCHAR"))
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $key AS bucket FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleCtes,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |),
+       |sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sets GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*)::DOUBLE AS i
+       |  FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.a
+       |  JOIN sets sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |  GROUP BY c.a, c.b
+       |)
+       |SELECT c.a AS a, c.b AS b,
+       |       round(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)), 6) AS jaccard
+       |FROM cand c
+       |JOIN sizes na ON na.doc_id = c.a
+       |JOIN sizes nb ON nb.doc_id = c.b
+       |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |WHERE round(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)), 6) >= $minJaccard""".stripMargin
+  }
+
+  def simhash(bits: Int = 32): String = {
+    val sums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (hh >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n       ")
+    val fp = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents
+       |),
+       |h AS (SELECT doc_id, ${h32("term")} AS hh FROM tok),
+       |s AS (SELECT doc_id,
+       |       $sums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, ($fp)::BIGINT AS simhash FROM s""".stripMargin
+  }
+
+  def ngramJaccardTop(k: Int = 20): String =
+    s"""WITH $shingleCtes,
+       |sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sets GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT d1.doc_id AS a, d2.doc_id AS b
+       |  FROM documents d1 JOIN documents d2
+       |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+       |),
+       |inter AS (
+       |  SELECT p.a, p.b, count(*)::DOUBLE AS i
+       |  FROM pairs p
+       |  JOIN sets sa ON sa.doc_id = p.a
+       |  JOIN sets sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+       |  GROUP BY p.a, p.b
+       |)
+       |SELECT p.a AS a, p.b AS b,
+       |       round(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)), 6) AS jaccard
+       |FROM pairs p
+       |JOIN sizes na ON na.doc_id = p.a
+       |JOIN sizes nb ON nb.doc_id = p.b
+       |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+       |ORDER BY jaccard DESC, a ASC, b ASC LIMIT $k""".stripMargin
+
+  // ---- embeddings -------------------------------------------------------
+
+  private def cosineFrom(pairsCte: String): String =
+    s"""$pairsCte,
+       |u AS (SELECT a, b, unnest(ea) AS x, unnest(eb) AS y FROM p),
+       |d AS (SELECT a, b, sum(x::DOUBLE * y::DOUBLE) AS dot,
+       |             sum(x::DOUBLE * x::DOUBLE) AS na, sum(y::DOUBLE * y::DOUBLE) AS nb
+       |      FROM u GROUP BY a, b)""".stripMargin
+
+  def embedPairsTop(k: Int = 20): String =
+    s"""WITH ${cosineFrom(
+      """p AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b, x.embedding AS ea, y.embedding AS eb
+        |  FROM embeddings x JOIN embeddings y
+        |    ON x.label = y.label AND x.vec_id < y.vec_id
+        |)""".stripMargin)}
+       |SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+       |FROM d ORDER BY cos_r DESC, a ASC, b ASC LIMIT $k""".stripMargin
+
+  def annBrute(queryId: Long = 0, k: Int = 10): String =
+    s"""WITH ${cosineFrom(
+      s"""p AS (
+         |  SELECT e.vec_id AS a, $queryId AS b, e.embedding AS ea, q.embedding AS eb
+         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $queryId) q
+         |  WHERE e.vec_id <> $queryId
+         |)""".stripMargin)}
+       |SELECT a AS vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+       |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
+
+  def annLsh(queryId: Long = 0, k: Int = 10, bits: Int = 6): String = {
+    val bucket = (0 until bits)
+      .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH bkt AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |${cosineFrom(
+      s"""p AS (
+         |  SELECT e.vec_id AS a, $queryId AS b, e.embedding AS ea, q.embedding AS eb
+         |  FROM bkt e, (SELECT embedding, bucket FROM bkt WHERE vec_id = $queryId) q
+         |  WHERE e.bucket = q.bucket AND e.vec_id <> $queryId
+         |)""".stripMargin).stripPrefix("WITH ")}
+       |SELECT a AS vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+       |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  // ---- text analysis ----------------------------------------------------
+
+  val langId: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+       |),
+       |g AS (SELECT doc_id, count(*)::DOUBLE AS n,
+       |             sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE AS stops
+       |      FROM tok GROUP BY doc_id)
+       |SELECT doc_id, round(stops / greatest(n, 1.0), 6) AS en_ratio,
+       |       CASE WHEN round(stops / greatest(n, 1.0), 6) > 0.05 THEN 'en' ELSE 'und' END AS lang_guess
+       |FROM g""".stripMargin
+
+  val quality: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+       |),
+       |g AS (SELECT doc_id, count(*)::DOUBLE AS n, sum(length(term))::DOUBLE AS slen,
+       |             sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE AS stops,
+       |             count(DISTINCT term)::DOUBLE AS uniq
+       |      FROM tok GROUP BY doc_id)
+       |SELECT doc_id, n::BIGINT AS n_tokens,
+       |       round(slen / greatest(n, 1.0), 4) AS mean_token_len,
+       |       round(stops / greatest(n, 1.0), 4) AS stop_ratio,
+       |       round(uniq / greatest(n, 1.0), 4) AS ttr,
+       |       round(least(n / 100.0, 1.0) * 0.4 + (1.0 - stops / greatest(n, 1.0)) * 0.3
+       |             + (uniq / greatest(n, 1.0)) * 0.3, 4) AS quality
+       |FROM g""".stripMargin
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+      |       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS word_tokens,
+      |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpeish_tokens,
+      |       length(text)::BIGINT AS n_chars
+      |FROM documents""".stripMargin
+
+  val fingerprint: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val mmMeta: String =
+    """SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS content_md5
+      |FROM documents""".stripMargin
+
+  // ---- relational coverage (SURVEY.md §2.8) ------------------------------
+
+  val relTopk: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin
+
+  val relAgg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*)::BIGINT AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val relJoin: String =
+    """SELECT o_orderpriority,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       count(*)::BIGINT AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  val relWindow: String =
+    """SELECT event_id, user_id, rn FROM (
+      |  SELECT event_id, user_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events
+      |) WHERE rn <= 3""".stripMargin
+
+  val relSemi: String =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin
+
+  val relAnti: String =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+
+  val relJson: String =
+    """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k
+      |FROM events""".stripMargin
+
+  val relDateRange: String =
+    """SELECT event_type, count(*)::BIGINT AS n
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
+  val docidRank: String =
+    """SELECT doc_id, row_number() OVER (ORDER BY source ASC, doc_id ASC) - 1 AS stable_docid
+      |FROM documents""".stripMargin
+
+  val tokenizeSample: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+       |  FROM documents
+       |)
+       |SELECT doc_id, term, (pos - 1)::BIGINT AS pos
+       |FROM tok WHERE doc_id < 5 AND term NOT IN ($stopList)""".stripMargin
+
+  val indexStats: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+       |),
+       |ftok AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id)
+       |SELECT count(*)::BIGINT AS doc_count, round(avg(dl), 4) AS avgdl FROM dl""".stripMargin
+}

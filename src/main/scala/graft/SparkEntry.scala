@@ -78,7 +78,92 @@ object SparkEntry {
     "seg_and" -> ((s, d) => Engine.topkSeg(s, d, "spark AND merge")),
     "seg_phrase" -> ((s, d) => Engine.topkSeg(s, d, "\"merge batch\"")),
     "seg_field" -> ((s, d) => Engine.topkSeg(s, d, "lang:es AND dup")),
-    "seg_prefix" -> ((s, d) => Engine.topkSeg(s, d, "sp*")))
+    "seg_prefix" -> ((s, d) => Engine.topkSeg(s, d, "sp*")),
+    // §2.5 building blocks, driver-checked
+    "op_docid_rank" -> ((s, d) => {
+      import graft.index.DocIds
+      DocIds.assign(docsTable(s, d).select(col("doc_id"), col("source")),
+        Seq("source", "doc_id"), "stable_docid")
+        .select(col("doc_id"), col("stable_docid"))
+    }),
+    "op_tokenize" -> ((s, d) =>
+      Engine.documentsIndex(s, d).postings
+        .filter(col("field") === "default" && col("docId") < 5)
+        .select(col("docId").as("doc_id"), col("term"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), col("term"), col("p").cast("long").as("pos"))),
+    "op_index_stats" -> ((s, d) => {
+      import s.implicits._
+      val fs = Engine.documentsIndex(s, d).fieldStats("default")
+      Seq((fs.docCount, BigDecimal(fs.avgdl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("doc_count", "avgdl")
+    }),
+    // training-data pipeline: deduplication
+    "op_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(docsTable(s, d), "doc_id", "text")),
+    "op_minhash_sig" -> ((s, d) => graft.ops.Dedup.minhashSignatures(docsTable(s, d), "doc_id", "text")),
+    "op_minhash_pairs" -> ((s, d) => graft.ops.Dedup.minhashPairs(docsTable(s, d), "doc_id", "text")),
+    "op_simhash" -> ((s, d) => graft.ops.Dedup.simhash(docsTable(s, d), "doc_id", "text")),
+    "op_ngram_jaccard" -> ((s, d) => graft.ops.Dedup.ngramJaccardTop(docsTable(s, d), "doc_id", "text", "source")),
+    // training-data pipeline: similarity search
+    "op_embed_pairs" -> ((s, d) => graft.ops.Similarity.cosinePairsTop(embTable(s, d), "vec_id", "embedding", "label")),
+    "op_ann_brute" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(embTable(s, d), "vec_id", "embedding", 0)),
+    "op_ann_lsh" -> ((s, d) => graft.ops.Similarity.lshTopK(embTable(s, d), "vec_id", "embedding", 0)),
+    // training-data pipeline: text analysis
+    "op_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(docsTable(s, d), "doc_id", "text")),
+    "op_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(docsTable(s, d), "doc_id", "text")),
+    "op_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenCounts(docsTable(s, d), "doc_id", "text")),
+    "op_fingerprint" -> ((s, d) => graft.ops.TextAnalysis.fingerprint(docsTable(s, d), "doc_id", "text")),
+    // training-data pipeline: multimodal binary plumbing
+    "op_mm_meta" -> ((s, d) => graft.ops.Multimodal.binaryMeta(docsTable(s, d), "doc_id", "text")),
+    // relational coverage (SURVEY.md §2.8)
+    "rel_topk" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)),
+    "rel_agg" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+    "rel_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "rel_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+    "rel_semi" -> ((s, d) =>
+      s.read.parquet(s"$d/customer.parquet")
+        .join(s.read.parquet(s"$d/orders.parquet"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))),
+    "rel_anti" -> ((s, d) =>
+      s.read.parquet(s"$d/customer.parquet")
+        .join(s.read.parquet(s"$d/orders.parquet"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))),
+    "rel_json" -> ((s, d) =>
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))),
+    "rel_daterange" -> ((s, d) =>
+      s.read.parquet(s"$d/events.parquet")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))))
+
+  private def docsTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def embTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -113,5 +198,29 @@ object SparkEntry {
     "seg_and" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
     "seg_phrase" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")))),
     "seg_field" -> topk(musts = Seq(OStringTerm("lang", "es"), OTerm("dup"))),
-    "seg_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))))
+    "seg_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),
+    "op_docid_rank" -> OpsOracle.docidRank,
+    "op_tokenize" -> OpsOracle.tokenizeSample,
+    "op_index_stats" -> OpsOracle.indexStats,
+    "op_dedup_exact" -> OpsOracle.dedupExact,
+    "op_minhash_sig" -> OpsOracle.minhashSig(),
+    "op_minhash_pairs" -> OpsOracle.minhashPairs(),
+    "op_simhash" -> OpsOracle.simhash(),
+    "op_ngram_jaccard" -> OpsOracle.ngramJaccardTop(),
+    "op_embed_pairs" -> OpsOracle.embedPairsTop(),
+    "op_ann_brute" -> OpsOracle.annBrute(),
+    "op_ann_lsh" -> OpsOracle.annLsh(),
+    "op_langid" -> OpsOracle.langId,
+    "op_quality" -> OpsOracle.quality,
+    "op_tokens" -> OpsOracle.tokenCounts,
+    "op_fingerprint" -> OpsOracle.fingerprint,
+    "op_mm_meta" -> OpsOracle.mmMeta,
+    "rel_topk" -> OpsOracle.relTopk,
+    "rel_agg" -> OpsOracle.relAgg,
+    "rel_join" -> OpsOracle.relJoin,
+    "rel_window" -> OpsOracle.relWindow,
+    "rel_semi" -> OpsOracle.relSemi,
+    "rel_anti" -> OpsOracle.relAnti,
+    "rel_json" -> OpsOracle.relJson,
+    "rel_daterange" -> OpsOracle.relDateRange)
 }

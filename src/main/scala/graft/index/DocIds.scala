@@ -1,7 +1,6 @@
 package graft.index
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -14,51 +13,59 @@ import org.apache.spark.sql.types.LongType
   * ordering, sort within partitions, count per partition, and add cumulative
   * offsets (SURVEY.md §2.5). Spark's `RangePartitioner` guarantees partition
   * p's keys all precede partition p+1's, and its reservoir sampling is
-  * seeded per-partition (deterministic), so the assignment is a pure function
-  * of the data — identical at local[8] and local[32], never
+  * seeded per-partition (deterministic), so the assignment is a pure
+  * function of the data — identical at local[8] and local[32], never
   * `monotonically_increasing_id`.
+  *
+  * The two passes run at the RDD level with `mapPartitionsWithIndex` — the
+  * one place an RDD hop is forced: the partition index must be the *parent*
+  * partition's, and `TaskContext.getPartitionId()` inside a Dataset
+  * `mapPartitions` lies when a downstream `coalesce`/AQE stage pipelines
+  * several parent partitions into one task (observed: coalesce(1) writes
+  * collapsed every offset to 0). `mapPartitionsWithIndex` bakes the index
+  * into the closure per parent split, immune to downstream re-tasking.
   */
 object DocIds {
 
   /** Append a dense 0-based `docIdCol` ranked by `orderCols` (keys must be
-    * unique). Two jobs: one to count partition sizes, one to assign; the
-    * sorted intermediate is persisted so both see the same partitioning.
+    * unique).
     */
   def assign(
       df: DataFrame,
       orderCols: Seq[String],
       docIdCol: String = "docId",
       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
-                else df.sparkSession.sessionState.conf.numShufflePartitions
+                else spark.sessionState.conf.numShufflePartitions
     val keys = orderCols.map(col)
     val sorted = df
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .persist()
 
-    val counts: Array[(Int, Long)] = sorted
-      .mapPartitions { it =>
+    val rdd = sorted.rdd.persist()
+    val counts: Array[(Int, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 }
-        Iterator((TaskContext.getPartitionId(), n))
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+        Iterator.single((pid, n))
+      }
       .collect()
 
     val offsets = new Array[Long](parts)
     var acc = 0L
     counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val bc = spark.sparkContext.broadcast(offsets)
 
     val outSchema = sorted.schema.add(docIdCol, LongType, nullable = false)
-    val assigned = sorted.mapPartitions { it =>
-      var next = bc.value(TaskContext.getPartitionId())
+    val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var next = bc.value(pid)
       it.map { row =>
         val out = Row.fromSeq(row.toSeq :+ next)
         next += 1
         out
       }
-    }(Encoders.row(outSchema))
-    assigned
+    }
+    spark.createDataFrame(assigned, outSchema)
   }
 }

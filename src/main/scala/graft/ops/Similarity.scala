@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All math runs in double (elements cast up) as pure column expressions —
+  * `zip_with` for the elementwise product, `aggregate` for the sums — so the
+  * plan stays inside whole-stage codegen and the DuckDB oracle reproduces
+  * the values.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ in index order (deterministic summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of one query vector: broadcast the
+    * query against a full scan — the exact baseline. At cluster scale the
+    * scan is embarrassingly parallel; only k rows reach the driver
+    * (TakeOrderedAndProject).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int = 10): DataFrame = {
+    val q = broadcast(emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec")))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol).cast("long").as("vec_id"),
+        round(cosine(col(vecCol), col("qvec")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Sign-bucket key over the first `bits` components — a deterministic
+    * stand-in for random-hyperplane LSH (the hyperplanes are the axes).
+    */
+  def signBucket(vec: Column, bits: Int = 6): Column =
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1L) * (1L << i)).otherwise(0L)).reduce(_ + _)
+
+  /** Bucketed ANN: probe only the query's sign bucket (IVF-style coarse
+    * quantization; at scale the bucket column is a partition key, so a probe
+    * reads one partition instead of the corpus).
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int = 10, bits: Int = 6): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), bits))
+    val q = broadcast(withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), col("bucket").as("qbucket")))
+    withBucket.crossJoin(q)
+      .filter(col("bucket") === col("qbucket") && col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("vec_id"),
+        round(cosine(col(vecCol), col("qvec")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: label-blocked (never unblocked
+    * N²) top-k most similar pairs.
+    */
+  def cosinePairsTop(emb: DataFrame, idCol: String, vecCol: String, blockCol: String, k: Int = 20): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    e.as("x").join(e.as("y"),
+        col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+}

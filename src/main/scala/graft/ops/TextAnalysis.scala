@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzers
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stop-word-hit heuristic), quality scoring, token counting, and document
+  * fingerprinting. All pure column expressions (codegen'd, oracle-checkable).
+  */
+object TextAnalysis {
+
+  private val enStops: Seq[String] = Analyzers.EnglishStopWords.toSeq.sorted
+
+  def rawTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** n-gram-heuristic language ID: ratio of tokens hitting the English
+    * function-word list; `en` above threshold, `und` otherwise. (The corpus
+    * `lang` column is synthetic noise — the op verifies the computation, not
+    * linguistics.)
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.05): DataFrame = {
+    val toks = rawTokens(col(textCol))
+    val hits = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
+    val ratio = round(hits / greatest(size(toks), lit(1)).cast("double"), 6)
+    docs.select(col(idCol).cast("long").as("doc_id"), ratio.as("en_ratio"),
+      when(ratio > threshold, lit("en")).otherwise(lit("und")).as("lang_guess"))
+  }
+
+  /** Quality scoring: length, mean token length, stop-word ratio, type-token
+    * ratio, and a composite score — the length/punct/stopword-ratio family
+    * of heuristic quality filters.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = rawTokens(col(textCol))
+    val n = size(toks).cast("double")
+    val nz = greatest(size(toks), lit(1)).cast("double")
+    val meanLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nz
+    val stopRatio = size(filter(toks, t => t.isin(enStops: _*))).cast("double") / nz
+    val ttr = size(array_distinct(toks)).cast("double") / nz
+    val score = least(n / lit(100.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.3 + ttr * 0.3
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(meanLen, 4).as("mean_token_len"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(ttr, 4).as("ttr"),
+      round(score, 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    * segmentation count (letter runs / digit runs / single other symbols).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).cast("long").as("ws_tokens"),
+      size(rawTokens(col(textCol))).cast("long").as("word_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpeish_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Document fingerprint: md5 over the sorted distinct token set — the
+    * canonical-form (rolling-hash family) dedup fingerprint.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      md5(array_join(array_sort(array_distinct(rawTokens(col(textCol)))), " ")).as("fingerprint"))
+}
