@@ -29,6 +29,14 @@ object Engine {
 
   private val cache = scala.collection.concurrent.TrieMap[String, TextIndex]()
 
+  /** Drop all cached indexes (required between SparkSession restarts —
+    * cached plans are bound to their session).
+    */
+  def clearCaches(): Unit = {
+    cache.clear()
+    segCache.clear()
+  }
+
   def documentsIndex(spark: SparkSession, sfDir: String): TextIndex =
     cache.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -46,7 +46,7 @@ object OpsOracle {
        |FROM sh GROUP BY doc_id""".stripMargin
   }
 
-  def minhashPairs(numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5): String = {
+  def minhashPairs(numHashes: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.5): String = {
     val mins = (0 until numHashes)
       .map(i => s"min(${h64(s"shingle || '#$i'")}) AS h$i").mkString(", ")
     val bandSelects = (0 until numHashes / rowsPerBand).map { b =>

@@ -22,12 +22,20 @@ object Codec {
 
   val BlockSize = 128
 
+  /** `encAvgdl` is the field avgdl the block-max bound was computed against.
+    * When the live index's merged avgdl q differs (incremental appends), the
+    * true tf-norm under q is bounded by `maxTfNorm · max(1, q/encAvgdl)`
+    * (the avgdl only enters the BM25 denominator as C1 + C2/avgdl with
+    * C1, C2 ≥ 0, so the ratio of norms is ≤ q/encAvgdl when q > encAvgdl) —
+    * scorers apply that inflation so WAND stays sound across generations.
+    */
   final case class Block(
       firstDoc: Long,
       lastDoc: Long,
       count: Int,
       maxTf: Int,
       maxTfNorm: Double,
+      encAvgdl: Double,
       docBytes: Array[Byte],
       tfBytes: Array[Byte],
       dlBytes: Array[Byte],
@@ -36,15 +44,30 @@ object Codec {
   /** One decoded posting. */
   final case class Decoded(docId: Long, tf: Int, dl: Int, positions: Array[Int])
 
+  /** Growable raw byte buffer — the encode path is allocation-hot (billions
+    * of postings at scale); `ArrayBuffer[Byte]` would box every byte.
+    */
+  final class ByteWriter(initial: Int = 64) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    def append(b: Byte): Unit = {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+      buf(len) = b
+      len += 1
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    def size: Int = len
+  }
+
   // ---- VByte ----------------------------------------------------------
-  def writeVLong(out: ArrayBuffer[Byte], v0: Long): Unit = {
+  def writeVLong(out: ByteWriter, v0: Long): Unit = {
     var v = v0
     require(v >= 0, s"vlong must be non-negative: $v")
     while ((v & ~0x7fL) != 0) {
-      out += ((v & 0x7f) | 0x80).toByte
+      out.append(((v & 0x7f) | 0x80).toByte)
       v >>>= 7
     }
-    out += v.toByte
+    out.append(v.toByte)
   }
 
   /** Reads a VLong from `bytes` at `pos`; returns (value, newPos). */
@@ -72,10 +95,10 @@ object Codec {
     val buf = new ArrayBuffer[Decoded](BlockSize)
     def flush(): Unit = {
       if (buf.nonEmpty) {
-        val docB = new ArrayBuffer[Byte]()
-        val tfB = new ArrayBuffer[Byte]()
-        val dlB = new ArrayBuffer[Byte]()
-        val posB = new ArrayBuffer[Byte]()
+        val docB = new ByteWriter()
+        val tfB = new ByteWriter()
+        val dlB = new ByteWriter()
+        val posB = new ByteWriter()
         var prev = buf.head.docId
         writeVLong(docB, prev) // first docId absolute
         var maxTf = 0
@@ -97,7 +120,7 @@ object Codec {
             (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * d.dl))
           if (norm > maxNorm) maxNorm = norm
         }
-        blocks += Block(buf.head.docId, buf.last.docId, buf.length, maxTf, maxNorm,
+        blocks += Block(buf.head.docId, buf.last.docId, buf.length, maxTf, maxNorm, avgdl,
           docB.toArray, tfB.toArray, dlB.toArray, posB.toArray)
         buf.clear()
       }

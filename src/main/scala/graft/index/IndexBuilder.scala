@@ -1,5 +1,7 @@
 package graft.index
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
@@ -16,6 +18,13 @@ final case class TextIndex(
     fieldStats: Map[String, FieldStats],
     docIdCol: String,
     fields: Seq[FieldDef]) {
+
+  /** Driver-side memo of term statistics: each distinct query term costs one
+    * filtered scan of the (cached) stats table once, then is served from the
+    * map — the analog of Lucene's per-reader TermStates cache.
+    */
+  @transient lazy val statsCache: scala.collection.concurrent.TrieMap[(String, String), Option[TermStats]] =
+    scala.collection.concurrent.TrieMap.empty
 
   def analyzerFor(field: String): graft.analysis.Analyzer =
     fields.collectFirst { case FieldDef(`field`, _, TextField(a)) => a }
@@ -65,10 +74,19 @@ object IndexBuilder {
   def bm25(tf: Double, idf: Double, dl: Double, avgdl: Double): Double =
     idf * tf * (K1 + 1.0) / (tf + K1 * ((1.0 - B) + (B / avgdl) * dl))
 
-  def tokenizePostings(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[Posting] = {
+  /** Synthetic per-(doc, field) marker row carrying the field length — lets
+    * field stats fall out of the same tokenize pass with a #fields-row
+    * shuffle instead of a doc-level one. The empty term is unreachable by
+    * any analyzer, so markers can never collide with a real posting.
+    */
+  val DlMarker = ""
+
+  /** One corpus scan emitting real postings AND dl marker rows. */
+  def tokenizePostingsWithMarkers(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[Posting] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val cols = col(docIdCol).cast(LongType) +: fields.map(f => col(f.source).cast(StringType))
+    val emptyPos = Array.empty[Int]
     docs.select(cols: _*).flatMap { row =>
       val docId = row.getLong(0)
       fields.iterator.zipWithIndex.flatMap { case (f, i) =>
@@ -78,13 +96,54 @@ object IndexBuilder {
             val toks = analyzer.tokens(row.getString(i + 1))
             val dl = toks.length
             if (dl == 0) Iterator.empty
-            else toks.groupBy(_.term).iterator.map { case (t, occ) =>
-              Posting(f.indexField, t, docId, occ.length, occ.map(_.pos).toArray, dl)
+            else {
+              // sort-based run grouping (no per-doc HashMap churn — this is
+              // the hottest loop of the whole build)
+              val arr = toks.toArray
+              java.util.Arrays.sort(arr, IndexBuilder.TokenOrd)
+              val out = new ArrayBuffer[Posting](16)
+              var s = 0
+              while (s < arr.length) {
+                var e = s + 1
+                while (e < arr.length && arr(e).term == arr(s).term) e += 1
+                val positions = new Array[Int](e - s)
+                var j = s
+                while (j < e) { positions(j - s) = arr(j).pos; j += 1 }
+                out += Posting(f.indexField, arr(s).term, docId, e - s, positions, dl)
+                s = e
+              }
+              out += Posting(f.indexField, DlMarker, docId, dl, emptyPos, dl)
+              out.iterator
             }
           case StringField =>
-            Iterator.single(Posting(f.indexField, row.getString(i + 1), docId, 1, Array(0), 1))
+            Iterator(
+              Posting(f.indexField, row.getString(i + 1), docId, 1, Array(0), 1),
+              Posting(f.indexField, DlMarker, docId, 1, emptyPos, 1))
         }
       }
+    }
+  }
+
+  def tokenizePostings(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[Posting] = {
+    import docs.sparkSession.implicits._
+    tokenizePostingsWithMarkers(docs, docIdCol, fields).filter(_.term != DlMarker)
+  }
+
+  /** Field stats from the dl marker rows: partial agg collapses each
+    * partition to #fields rows before the (trivial) shuffle.
+    */
+  def fieldStatsFromMarkers(withMarkers: Dataset[Posting]): DataFrame = {
+    val spark = withMarkers.sparkSession
+    import spark.implicits._
+    withMarkers.filter(_.term == DlMarker).toDF()
+      .groupBy($"field")
+      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
+  }
+
+  private object TokenOrd extends java.util.Comparator[graft.analysis.Token] {
+    def compare(a: graft.analysis.Token, b: graft.analysis.Token): Int = {
+      val c = a.term.compareTo(b.term)
+      if (c != 0) c else Integer.compare(a.pos, b.pos)
     }
   }
 
@@ -135,12 +194,34 @@ object IndexBuilder {
       .toMap
   }
 
+  /** Field stats derived from postings (dl is denormalized into every
+    * posting) — avoids a second scan+tokenize of the corpus, which is the
+    * dominant cost at scale. Equivalent to [[fieldStats]] over
+    * [[docLengths]]: both see exactly the docs with ≥1 indexed token.
+    */
+  def fieldStatsFromPostings(postings: Dataset[Posting]): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings
+      .groupBy($"field", $"docId")
+      .agg(first($"dl").as("dl"))
+      .groupBy($"field")
+      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
+  }
+
   /** Build the full index over `docs`. `docs` must already carry a stable
     * Long doc id (use [[DocIds.assign]] when the source has none).
+    *
+    * One corpus scan: postings are tokenized once and persisted; term stats
+    * and field stats both aggregate the cached postings.
     */
   def build(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): TextIndex = {
-    val postings = tokenizePostings(docs, docIdCol, fields)
-    val lengths = docLengths(docs, docIdCol, fields)
-    TextIndex(postings, docs, termStats(postings), fieldStats(lengths), docIdCol, fields)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withMarkers = tokenizePostingsWithMarkers(docs, docIdCol, fields).persist()
+    val fs = fieldStatsFromMarkers(withMarkers).as[FieldStats]
+      .collect().map(f => f.field -> f).toMap
+    val postings = withMarkers.filter(_.term != DlMarker)
+    TextIndex(postings, docs, termStats(postings), fs, docIdCol, fields)
   }
 }

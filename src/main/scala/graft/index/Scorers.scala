@@ -52,14 +52,21 @@ object Scorers {
       while (decoded != null && decoded(di).docId < target) next()
     }
 
-    /** Upper bound of the tf-norm over the remaining blocks (monotone
-      * shrink as blocks are consumed would need a suffix max; we use the
-      * global max — still a valid bound).
+    /** Upper bound of the tf-norm over the remaining blocks under the live
+      * avgdl q: per-block encode-time bound inflated by max(1, q/encAvgdl)
+      * (see [[Codec.Block.encAvgdl]]). Global max — still a valid bound as
+      * blocks are consumed.
       */
-    lazy val maxTfNorm: Double = if (blocks.isEmpty) 0.0 else blocks.map(_.maxTfNorm).max
+    def maxTfNorm(qAvgdl: Double): Double =
+      if (blocks.isEmpty) 0.0
+      else blocks.map(b => b.maxTfNorm * math.max(1.0, qAvgdl / b.encAvgdl)).max
 
-    /** Block-local bound for the current block. */
-    def blockMaxTfNorm: Double = if (bi < blocks.length) blocks(bi).maxTfNorm else 0.0
+    /** Block-local bound for the current block under the live avgdl. */
+    def blockMaxTfNorm(qAvgdl: Double): Double =
+      if (bi < blocks.length) {
+        val b = blocks(bi)
+        b.maxTfNorm * math.max(1.0, qAvgdl / b.encAvgdl)
+      } else 0.0
 
     /** Skip bound: last doc of the current block (callers may jump past). */
     def blockLastDoc: Long = if (bi < blocks.length) blocks(bi).lastDoc else NoMoreDocs
@@ -86,11 +93,16 @@ object Scorers {
       weight * d.tf * (IndexBuilder.K1 + 1.0) /
         (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + bOverAvgdl * d.dl))
     }
-    def maxScore: Double = weight * it.maxTfNorm
-    def blockMaxScore: Double = weight * it.blockMaxTfNorm
+    def maxScore: Double = weight * it.maxTfNorm(qAvgdl)
+    def blockMaxScore: Double = weight * it.blockMaxTfNorm(qAvgdl)
     def blockLastDoc: Long = it.blockLastDoc
     private var bOverAvgdl: Double = 0.0
-    def withAvgdl(avgdl: Double): TermScorer = { bOverAvgdl = IndexBuilder.B / avgdl; this }
+    private var qAvgdl: Double = 1.0
+    def withAvgdl(avgdl: Double): TermScorer = {
+      qAvgdl = avgdl
+      bOverAvgdl = IndexBuilder.B / avgdl
+      this
+    }
   }
 
   /** Exact-phrase scorer: conjunction of the terms' iterators + consecutive
@@ -256,11 +268,13 @@ object Scorers {
     def result: Seq[(Long, Double)] = heap.toSeq.sortBy { case (d, s) => (-s, d) }
   }
 
-  /** Exhaustive top-k evaluation of any scorer tree. */
-  def exhaustiveTopK(root: DocScorer, k: Int): Seq[(Long, Double)] = {
+  /** Exhaustive top-k evaluation of any scorer tree; `excluded` docs
+    * (tombstones) never enter the heap.
+    */
+  def exhaustiveTopK(root: DocScorer, k: Int, excluded: Long => Boolean = _ => false): Seq[(Long, Double)] = {
     val heap = new TopKHeap(k)
     while (root.doc != NoMoreDocs) {
-      heap.offer(root.doc, root.score)
+      if (!excluded(root.doc)) heap.offer(root.doc, root.score)
       root.next()
     }
     heap.result

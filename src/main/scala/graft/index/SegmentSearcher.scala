@@ -27,7 +27,10 @@ case object SEmpty extends SQ
   * `flatMapGroups`, then a global TakeOrdered merge of ≤ shards×k rows.
   * The corpus-sized data never moves: only the query's posting lists do.
   */
-final class SegmentSearcher(si: SegmentIndex, opts: SearchOptions = SearchOptions(limit = 10)) {
+final class SegmentSearcher(
+    si: SegmentIndex,
+    opts: SearchOptions = SearchOptions(limit = 10),
+    deleted: Set[Long] = Set.empty) {
 
   private val spark = si.segments.sparkSession
 
@@ -54,11 +57,15 @@ final class SegmentSearcher(si: SegmentIndex, opts: SearchOptions = SearchOption
   }
 
   private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), TermStats] = {
-    if (terms.isEmpty) return Map.empty
-    val cond = terms.distinct
-      .map { case (f, t) => (col("field") === f) && (col("term") === t) }
-      .reduce(_ || _)
-    si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+    val missing = terms.distinct.filterNot(si.statsCache.contains)
+    if (missing.nonEmpty) {
+      val cond = missing
+        .map { case (f, t) => (col("field") === f) && (col("term") === t) }
+        .reduce(_ || _)
+      val found = si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+      missing.foreach(k => si.statsCache.put(k, found.get(k)))
+    }
+    terms.distinct.flatMap(k => si.statsCache(k).map(k -> _)).toMap
   }
 
   private def expand(f: String, pred: String => Boolean): Seq[String] = {
@@ -121,6 +128,7 @@ final class SegmentSearcher(si: SegmentIndex, opts: SearchOptions = SearchOption
     if (sq == SEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
     val leaves = SegmentSearcher.leafTerms(sq)
     val cond = leaves.map { case (f, t) => (col("field") === f) && (col("term") === t) }.reduce(_ || _)
+    val bcDeleted = spark.sparkContext.broadcast(deleted)
     val perShard = si.segments
       .filter(cond)
       .groupByKey(_.shard)
@@ -128,7 +136,7 @@ final class SegmentSearcher(si: SegmentIndex, opts: SearchOptions = SearchOption
         val byTerm = rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
           key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
         }
-        SegmentSearcher.shardTopK(sq, byTerm, k).iterator
+        SegmentSearcher.shardTopK(sq, byTerm, k, bcDeleted.value).iterator
       }
     perShard.toDF("docId", "score")
       .orderBy(col("score").desc, col("docId").asc)
@@ -180,10 +188,17 @@ object SegmentSearcher {
   }
 
   /** Per-shard top-k: block-max WAND for a pure term disjunction, exhaustive
-    * doc-at-a-time otherwise.
+    * doc-at-a-time otherwise. Tombstoned docs force the exhaustive path
+    * (WAND's threshold pruning is unsound if heap entries can be vetoed).
     */
-  def shardTopK(sq: SQ, byTerm: Map[(String, String), IndexedSeq[Block]], k: Int): Seq[(Long, Double)] =
+  def shardTopK(
+      sq: SQ,
+      byTerm: Map[(String, String), IndexedSeq[Block]],
+      k: Int,
+      deleted: Set[Long] = Set.empty): Seq[(Long, Double)] =
     sq match {
+      case _ if deleted.nonEmpty =>
+        exhaustiveTopK(buildScorer(sq, byTerm), k, deleted.contains)
       case STerm(f, t, w, avgdl) =>
         wandTopK(IndexedSeq(
           new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)), k)

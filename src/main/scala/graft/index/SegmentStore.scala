@@ -79,90 +79,208 @@ object SegmentStore {
     def failpoint(stage: String): Unit =
       if (failAfterStage.contains(stage)) throw new RuntimeException(s"failpoint after $stage")
 
-    if (!stageDone(dir, "spec")) {
-      fields.map(f => (f.indexField, f.source, f.kind match {
-        case TextField(_) => "text"
-        case StringField => "string"
-      }, f.kind match {
-        case TextField(a) => analyzerName(a)
-        case StringField => ""
-      })).toDF("indexField", "source", "kind", "analyzer")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/spec")
-      commitStage(dir, "spec", Map("fields" -> fields.size.toLong))
-    }
+    if (!stageDone(dir, "spec")) writeSpec(spark, dir, fields)
     failpoint("spec")
 
-    if (!stageDone(dir, "stats")) {
-      val postings = IndexBuilder.tokenizePostings(docs, docIdCol, fields)
+    // Tokenize ONCE: both remaining stages aggregate the same cached
+    // postings — corpus scans are the dominant cost at scale, so the build
+    // reads the source exactly one time; field lengths ride along as marker
+    // rows so no doc-level shuffle is needed for avgdl.
+    val needStats = !stageDone(dir, "stats")
+    val needSegments = !stageDone(dir, "segments")
+    lazy val withMarkers = {
+      val p = IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
+      if (needStats && needSegments)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else p
+    }
+    lazy val postings = withMarkers.filter(_.term != IndexBuilder.DlMarker)
+
+    if (needStats) {
       val ts = IndexBuilder.termStats(postings)
       ts.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-      val lengths = IndexBuilder.docLengths(docs, docIdCol, fields)
-      lengths.groupBy($"field")
-        .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
-        .as[FieldStats]
+      IndexBuilder.fieldStatsFromMarkers(withMarkers)
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
-      val nTerms = spark.read.parquet(s"$dir/termstats").count()
-      commitStage(dir, "stats", Map("terms" -> nTerms))
+      commitStage(dir, "stats", Map.empty)
     }
     failpoint("stats")
 
-    if (!stageDone(dir, "segments")) {
+    if (needSegments) {
       val avgdls = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
         .collect().map(fs => fs.field -> fs.avgdl).toMap
-      val bcAvgdl = spark.sparkContext.broadcast(avgdls)
-      val postings = IndexBuilder.tokenizePostings(docs, docIdCol, fields)
-      val parts = spark.sessionState.conf.numShufflePartitions
-      // explicit range-partitioned shuffle of the term space within doc
-      // shards; sort brings each (shard, field, term) run contiguous and
-      // docId-ordered for the encoder (SURVEY.md §2.5)
-      val sortedRuns = postings
-        .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
-        .repartitionByRange(parts, col("shard"), col("field"), col("term"), col("docId"))
-        .sortWithinPartitions(col("shard"), col("field"), col("term"), col("docId"))
-        .as[(String, String, Long, Int, Array[Int], Int, Int)] // field,term,docId,tf,positions,dl,shard
-
-      val encodeFn = (it: Iterator[(String, String, Long, Int, Array[Int], Int, Int)]) => {
-        val pid = TaskContext.getPartitionId()
-        val avg = bcAvgdl.value
-        val src = it.buffered
-        new Iterator[SegmentRow] {
-          def hasNext: Boolean = src.hasNext
-          def next(): SegmentRow = {
-            val (field, term, _, _, _, _, shard) = src.head
-            var df = 0L
-            var cf = 0L
-            var minDoc = Long.MaxValue
-            var maxDoc = Long.MinValue
-            val run = Vector.newBuilder[Codec.Decoded]
-            while (src.hasNext && src.head._1 == field &&
-              src.head._2 == term && src.head._7 == shard) {
-              val (_, _, docId, tf, positions, dl, _) = src.next()
-              df += 1; cf += tf
-              if (docId < minDoc) minDoc = docId
-              if (docId > maxDoc) maxDoc = docId
-              run += Codec.Decoded(docId, tf, dl, positions)
-            }
-            val blocks = Codec.encode(run.result().iterator, avg(field))
-            val bytes = blocks.map(b =>
-              b.docBytes.length + b.tfBytes.length + b.dlBytes.length + b.posBytes.length).sum.toLong
-            SegmentRow(shard, field, term, df, cf, minDoc, maxDoc, bytes, pid, blocks)
-          }
-        }
-      }
-      val segments = sortedRuns.mapPartitions(encodeFn)
+      val segments = encodeSegments(postings, avgdls, docsPerShard)
       segments.write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
-      // lineage from the committed segment rows (cheap agg over metadata)
-      val seg = spark.read.parquet(s"$dir/segments")
-      seg.groupBy(col("pid"))
+      // lineage from the committed segment rows — one column-pruned agg over
+      // the metadata columns; global metrics derived from the lineage rows
+      // driver-side (no second scan)
+      val lineage = spark.read.parquet(s"$dir/segments")
+        .groupBy(col("pid"))
         .agg(sum(col("df")).as("rowsIn"), count(lit(1)).as("rowsOut"), sum(col("bytes")).as("bytesOut"))
         .select(lit("segments").as("stage"), col("pid"), col("rowsIn"), col("rowsOut"), col("bytesOut"))
         .as[LineageRow]
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage")
-      val m = seg.agg(count(lit(1)), sum(col("bytes"))).head()
+      val rows = lineage.collect()
+      spark.createDataset(rows.toIndexedSeq).write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage")
       commitStage(dir, "segments",
-        Map("segmentRows" -> m.getLong(0), "postingBytes" -> m.getLong(1)))
+        Map("segmentRows" -> rows.map(_.rowsOut).sum, "postingBytes" -> rows.map(_.bytesOut).sum,
+          "postingsIn" -> rows.map(_.rowsIn).sum))
     }
+    if (needStats && needSegments) withMarkers.unpersist(blocking = false)
     failpoint("segments")
+  }
+
+  /** Commit the index field spec (queryable name, source column, kind,
+    * analyzer) — readable without the builder, so [[open]] reconstructs
+    * analyzers. Shared by the batch build and the incremental appender.
+    */
+  def writeSpec(spark: SparkSession, dir: String, fields: Seq[FieldDef]): Unit = {
+    import spark.implicits._
+    fields.map(f => (f.indexField, f.source, f.kind match {
+      case TextField(_) => "text"
+      case StringField => "string"
+    }, f.kind match {
+      case TextField(a) => analyzerName(a)
+      case StringField => ""
+    })).toDF("indexField", "source", "kind", "analyzer")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/spec")
+    commitStage(dir, "spec", Map("fields" -> fields.size.toLong))
+  }
+
+  /** The encode pipeline: explicit range-partitioned shuffle of the term
+    * space within doc shards; the sort brings each (shard, field, term) run
+    * contiguous and docId-ordered for the block encoder (SURVEY.md §2.5).
+    * Shared by the batch build and the incremental (streaming) appender.
+    */
+  def encodeSegments(
+      postings: Dataset[Posting],
+      avgdls: Map[String, Double],
+      docsPerShard: Long): Dataset[SegmentRow] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val bcAvgdl = spark.sparkContext.broadcast(avgdls)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // hash-partition by shard (shard sizes are bounded by docsPerShard, so
+    // the layout is balanced by construction — no range-sampling pass), then
+    // sort brings each (shard, field, term) run contiguous and docId-ordered
+    val sortedRuns = postings
+      .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+      .repartition(parts, col("shard"))
+      .sortWithinPartitions(col("shard"), col("field"), col("term"), col("docId"))
+      .as[(String, String, Long, Int, Array[Int], Int, Int)] // field,term,docId,tf,positions,dl,shard
+
+    val encodeFn = (it: Iterator[(String, String, Long, Int, Array[Int], Int, Int)]) => {
+      val pid = TaskContext.getPartitionId()
+      val avg = bcAvgdl.value
+      val src = it.buffered
+      new Iterator[SegmentRow] {
+        def hasNext: Boolean = src.hasNext
+        def next(): SegmentRow = {
+          val (field, term, _, _, _, _, shard) = src.head
+          var df = 0L
+          var cf = 0L
+          var minDoc = Long.MaxValue
+          var maxDoc = Long.MinValue
+          val run = Vector.newBuilder[Codec.Decoded]
+          while (src.hasNext && src.head._1 == field &&
+            src.head._2 == term && src.head._7 == shard) {
+            val (_, _, docId, tf, positions, dl, _) = src.next()
+            df += 1; cf += tf
+            if (docId < minDoc) minDoc = docId
+            if (docId > maxDoc) maxDoc = docId
+            run += Codec.Decoded(docId, tf, dl, positions)
+          }
+          val blocks = Codec.encode(run.result().iterator, avg(field))
+          val bytes = blocks.map(b =>
+            b.docBytes.length + b.tfBytes.length + b.dlBytes.length + b.posBytes.length).sum.toLong
+          SegmentRow(shard, field, term, df, cf, minDoc, maxDoc, bytes, pid, blocks)
+        }
+      }
+    }
+    sortedRuns.mapPartitions(encodeFn)
+  }
+
+  /** Open an index whose `termstats`/`fieldstats`/`segments` hold several
+    * appended generations (incremental maintenance): stats are folded at
+    * read — Lucene's multi-segment reader, expressed as aggregations.
+    * NOTE: assumes a doc appears in at most one generation (append-only
+    * corpus; updates go through tombstones + optimize).
+    */
+  def openMerged(spark: SparkSession, dir: String): SegmentIndex = {
+    import spark.implicits._
+    val base = open(spark, dir)
+    val mergedTerm = base.termStats
+      .groupBy($"field", $"term")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"))
+      .as[TermStats]
+    val mergedField = spark.read.parquet(s"$dir/fieldstats")
+      .groupBy($"field")
+      .agg(sum($"docCount").as("docCount"),
+        (sum($"docCount" * $"avgdl") / sum($"docCount")).as("avgdl"))
+      .as[FieldStats]
+      .collect().map(fs => fs.field -> fs).toMap
+    new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields)
+  }
+
+  /** `_optimize` analog (reference DatabaseIndexer.java:274-279,
+    * forceMerge(1)): decode every run, drop tombstoned docs, and re-encode
+    * each (shard, field, term) as a single fresh run with tight blocks.
+    * Writes a full replacement `segments/` + stats (new dir returned).
+    */
+  def optimize(spark: SparkSession, dir: String, outDir: String, docsPerShard: Long = 1L << 14): Unit = {
+    import spark.implicits._
+    val tombstones: Set[Long] = deletedDocs(spark, dir)
+    val bcDeleted = spark.sparkContext.broadcast(tombstones)
+    val postings: Dataset[Posting] = spark.read.parquet(s"$dir/segments").as[SegmentRow]
+      .flatMap { row =>
+        row.blocks.iterator.flatMap(Codec.decode(_).iterator)
+          .filterNot(d => bcDeleted.value.contains(d.docId))
+          .map(d => Posting(row.field, row.term, d.docId, d.tf, d.positions, d.dl))
+      }.persist()
+    // spec carries over; stats recomputed post-expunge
+    java.nio.file.Files.createDirectories(Paths.get(outDir))
+    spark.read.parquet(s"$dir/spec").coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
+    commitStage(outDir, "spec", Map.empty)
+    IndexBuilder.termStats(postings).write.mode(SaveMode.Overwrite).parquet(s"$outDir/termstats")
+    IndexBuilder.fieldStatsFromPostings(postings)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
+    commitStage(outDir, "stats", Map.empty)
+    val avgdls = spark.read.parquet(s"$outDir/fieldstats").as[FieldStats]
+      .collect().map(fs => fs.field -> fs.avgdl).toMap
+    encodeSegments(postings, avgdls, docsPerShard)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments")
+    commitStage(outDir, "segments", Map.empty)
+    postings.unpersist(blocking = false)
+  }
+
+  /** Delete-by-docId: tombstone file, honored by [[SegmentSearcher]] and
+    * dropped for real by [[optimize]] — the reference's `deleteDocuments` +
+    * `_expunge` pair (DatabaseIndexer.java:350-355,266-271).
+    */
+  def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.toDS().toDF("docId").write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+  }
+
+  def deletedDocs(spark: SparkSession, dir: String): Set[Long] = {
+    import spark.implicits._
+    if (!Files.exists(Paths.get(s"$dir/tombstones"))) Set.empty
+    else spark.read.parquet(s"$dir/tombstones").as[Long].collect().toSet
+  }
+
+  /** Index info — the reference's `GET .../{view}` stats endpoint analog
+    * (DatabaseIndexer.java:386-430): doc/term/byte counts and field list.
+    */
+  def info(spark: SparkSession, dir: String): Map[String, Any] = {
+    import spark.implicits._
+    val idx = openMerged(spark, dir)
+    val seg = idx.segments
+    val m = seg.agg(count(lit(1)), sum(col("bytes")), countDistinct(col("shard"))).head()
+    Map(
+      "doc_count" -> idx.fieldStats.values.map(_.docCount).max,
+      "fields" -> idx.fields.map(_.indexField),
+      "segment_rows" -> m.getLong(0),
+      "disk_bytes" -> m.getLong(1),
+      "shards" -> m.getLong(2),
+      "deleted_count" -> deletedDocs(spark, dir).size)
   }
 
   def analyzerName(a: graft.analysis.Analyzer): String = a match {
@@ -197,6 +315,11 @@ final class SegmentIndex(
     val termStats: Dataset[TermStats],
     val fieldStats: Map[String, FieldStats],
     val fields: Seq[FieldDef]) {
+
+  /** Driver-side term-stats memo (see TextIndex.statsCache). */
+  @transient lazy val statsCache: scala.collection.concurrent.TrieMap[(String, String), Option[TermStats]] =
+    scala.collection.concurrent.TrieMap.empty
+
   def cached(): SegmentIndex = {
     segments.persist(); termStats.persist(); this
   }

@@ -66,7 +66,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 8,
-      rowsPerBand: Int = 2,
+      rowsPerBand: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, numHashes)
     val bands = (0 until numHashes / rowsPerBand).map { b =>

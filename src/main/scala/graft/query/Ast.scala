@@ -49,4 +49,6 @@ final case class SearchOptions(
     defaultOperatorAnd: Boolean = false, // ?default_operator, DatabaseIndexer.java:478-479
     includeDocs: Boolean = false,
     includeFields: Seq[String] = Nil,
-    allowLeadingWildcard: Boolean = false) // lucene.allowLeadingWildcard default
+    allowLeadingWildcard: Boolean = false, // lucene.allowLeadingWildcard default
+    highlights: Int = 0, // ?highlights=n fragments (DatabaseIndexer.java:469)
+    highlightLength: Int = 100) // ?highlight_length, min 18 in the reference

@@ -53,7 +53,8 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     * requested.
     */
   def search(q: String): DataFrame = {
-    val hits = scored(q)
+    val ast = parse(q)
+    val hits = exec(ast)
     val k = opts.skip + opts.limit
     // Field sort joins sort keys from the doc table (aliased sort_i to avoid
     // collisions); scores still computed, un-normalized (reference
@@ -85,15 +86,45 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     val ordered = prepared.orderBy(sortCols: _*).limit(k)
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
     val ranked = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
-    if (opts.includeDocs || opts.includeFields.nonEmpty) {
-      // include_docs fetch-back = broadcast equi-join of the ≤k hit ids
-      // against the stored table (reference DatabaseIndexer.java:609-633)
-      val cols: Seq[Column] =
-        if (opts.includeFields.nonEmpty) col(docIdCol) +: opts.includeFields.map(col)
-        else index.docs.columns.toSeq.map(col)
-      val docs = index.docs.select(cols: _*).withColumnRenamed(docIdCol, "docId")
-      docs.join(broadcast(ranked), Seq("docId"), "inner")
-    } else ranked
+    val withDocs =
+      if (opts.includeDocs || opts.includeFields.nonEmpty) {
+        // include_docs fetch-back = broadcast equi-join of the ≤k hit ids
+        // against the stored table (reference DatabaseIndexer.java:609-633)
+        val cols: Seq[Column] =
+          if (opts.includeFields.nonEmpty) col(docIdCol) +: opts.includeFields.map(col)
+          else index.docs.columns.toSeq.map(col)
+        val docs = index.docs.select(cols: _*).withColumnRenamed(docIdCol, "docId")
+        docs.join(broadcast(ranked), Seq("docId"), "inner")
+      } else ranked
+    if (opts.highlights > 0) addHighlights(withDocs, ast) else withDocs
+  }
+
+  /** ?highlights=n: best fragments of the default text field per hit,
+    * computed over the ≤k result rows (reference DatabaseIndexer.java:512-513).
+    */
+  private def addHighlights(result: DataFrame, ast: Query): DataFrame = {
+    val srcColOpt = index.fields.collectFirst {
+      case graft.index.FieldDef(f, src, _: graft.index.TextField) if f == opts.defaultField => src
+    }
+    srcColOpt match {
+      case None => result
+      case Some(srcCol) =>
+        val terms = collectTerms(ast).filter(_._1 == opts.defaultField).map(_._2).distinct
+        val withText =
+          if (result.columns.contains(srcCol)) result
+          else result.join(
+            broadcast(index.docs.select(col(docIdCol).cast("long").as("docId"), col(srcCol))),
+            Seq("docId"))
+        val n = opts.highlights
+        val len = opts.highlightLength
+        val outSchema = withText.schema
+          .add("highlights", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+        val textIdx = withText.schema.fieldIndex(srcCol)
+        withText.map { row =>
+          val frags = Highlighter.fragments(row.getString(textIdx), terms, n, len)
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ frags)
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
   }
 
   /** Total matching docs alongside top-k — reference `total_rows`
@@ -136,15 +167,19 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
   }
 
   /** Driver-side lookup of the query terms' stats — bounded by query size,
-    * the same shape as Lucene resolving TermStates before scoring.
+    * the same shape as Lucene resolving TermStates before scoring; memoized
+    * per index so repeated queries pay no lookup job.
     */
   private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), graft.index.TermStats] = {
-    if (terms.isEmpty) return Map.empty
-    val ts = index.termStats
-    val cond = terms.distinct
-      .map { case (f, t) => (col("field") === f) && (col("term") === t) }
-      .reduce(_ || _)
-    ts.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+    val missing = terms.distinct.filterNot(index.statsCache.contains)
+    if (missing.nonEmpty) {
+      val cond = missing
+        .map { case (f, t) => (col("field") === f) && (col("term") === t) }
+        .reduce(_ || _)
+      val found = index.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+      missing.foreach(k => index.statsCache.put(k, found.get(k)))
+    }
+    terms.distinct.flatMap(k => index.statsCache(k).map(k -> _)).toMap
   }
 
   // ---------------- execution ------------------------------------------

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index._
+
+/** Incremental index maintenance — the Spark Structured Streaming
+  * re-expression of the reference's changes-feed consumer loop
+  * (/root/reference/src/main/java/com/github/rnewson/couchdb/lucene/DatabaseIndexer.java:293-384):
+  * each micro-batch of new turns is tokenized, docID'd after the existing
+  * maximum, encoded, and appended as a new posting-segment generation; the
+  * batch id is the `last_seq` analog persisted with the commit, so a
+  * replayed batch is skipped (exactly-once append, mirroring the
+  * `seq.isLaterThan(pending_seq)` guard at DatabaseIndexer.java:361).
+  *
+  * Layout matches [[SegmentStore]] with `segments/` and `termstats/` written
+  * in append mode; [[SegmentStore.openMerged]] folds the generations
+  * together at read (Lucene's multi-segment reader, table-style).
+  */
+object IncrementalIndexer {
+
+  final case class Meta(nextDocId: Long, lastBatch: Long)
+
+  private def metaPath(dir: String) = Paths.get(s"$dir/checkpoints/incremental.json")
+
+  def readMeta(dir: String): Meta = {
+    val p = metaPath(dir)
+    if (!Files.exists(p)) Meta(0L, -1L)
+    else {
+      val s = Files.readString(p)
+      def field(name: String): Long =
+        s"""\"$name\":\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      Meta(field("nextDocId"), field("lastBatch"))
+    }
+  }
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    Files.createDirectories(metaPath(dir).getParent)
+    Files.writeString(metaPath(dir), s"""{"nextDocId": ${m.nextDocId}, "lastBatch": ${m.lastBatch}}""")
+  }
+
+  /** Append one batch of new documents to the index. Returns docIds
+    * assigned. Idempotent per batchId: a replay of an already-committed
+    * batch is a no-op.
+    */
+  def appendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      dir: String,
+      orderCols: Seq[String],
+      fields: Seq[FieldDef],
+      docsPerShard: Long = 1L << 14): Unit = {
+    val meta = readMeta(dir)
+    if (batchId <= meta.lastBatch) return // replayed batch — already committed
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (!SegmentStore.stageDone(dir, "spec")) SegmentStore.writeSpec(spark, dir, fields)
+
+    val withIds = DocIds.assign(batch, orderCols, "docId")
+      .withColumn("docId", col("docId") + lit(meta.nextDocId))
+    val n = withIds.count()
+    if (n > 0) {
+      val postings = IndexBuilder.tokenizePostings(withIds, "docId", fields).persist()
+      IndexBuilder.termStats(postings)
+        .write.mode(SaveMode.Append).parquet(s"$dir/termstats")
+      IndexBuilder.fieldStatsFromPostings(postings)
+        .write.mode(SaveMode.Append).parquet(s"$dir/fieldstats")
+      val avgdls = spark.read.parquet(s"$dir/fieldstats")
+        .groupBy($"field")
+        .agg((sum($"docCount" * $"avgdl") / sum($"docCount")).as("avgdl"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      SegmentStore.encodeSegments(postings, avgdls, docsPerShard)
+        .write.mode(SaveMode.Append).parquet(s"$dir/segments")
+      postings.unpersist(blocking = false)
+    }
+    writeMeta(dir, Meta(meta.nextDocId + n, batchId))
+  }
+
+  /** Run a streaming query that maintains the index over a parquet-directory
+    * stream of new transcript files. `foreachBatch` is the commit point —
+    * the reference's `maybeCommit` every-15s cadence maps to the trigger.
+    */
+  def start(
+      sparkStreamSourceDir: String,
+      dir: String,
+      fields: Seq[FieldDef],
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      orderCols: Seq[String],
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(sparkStreamSourceDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$dir/checkpoints/stream")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, dir, orderCols, fields)
+      }
+      .start()
+  }
+}

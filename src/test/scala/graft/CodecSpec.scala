@@ -24,10 +24,10 @@ class CodecSpec extends AnyFunSuite with GenSamples {
 
   test("vlong round-trip") {
     forAll(Gen.choose(0L, Long.MaxValue / 2)) { v =>
-      val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+      val buf = new Codec.ByteWriter()
       Codec.writeVLong(buf, v)
       val (got, n) = Codec.readVLong(buf.toArray, 0)
-      assert(got === v && n === buf.length)
+      assert(got === v && n === buf.size)
     }
   }
 

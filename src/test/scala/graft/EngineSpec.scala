@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzers
+import graft.query.{QueryParser, SearchOptions, Searcher}
+
+/** Engine glue invariants + highlight behavior. */
+class EngineSpec extends SparkSpec {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("documents corpus property: Standard analyzer ≡ the oracle's regex tokenizer") {
+    // FtOracle assumes regexp_extract_all(lower(text),'[a-z0-9]+') minus the
+    // stop set equals the Standard token stream — assert it on the real corpus.
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    texts.foreach { t =>
+      val viaAnalyzer = Analyzers.Standard.tokens(t)
+      val viaRegex = "[a-z0-9]+".r.findAllIn(t.toLowerCase).zipWithIndex
+        .map { case (w, i) => graft.analysis.Token(w, i) }
+        .filterNot(tok => Analyzers.EnglishStopWords.contains(tok.term)).toVector
+      assert(viaAnalyzer === viaRegex)
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("highlights: fragments wrap query terms, min length 18, n respected") {
+    val idx = Engine.documentsIndex(spark, sfDir)
+    val s = new Searcher(idx, SearchOptions(limit = 3, highlights = 2, highlightLength = 40))
+    val rows = s.search("spark merge").select("docId", "highlights").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frags = r.getSeq[String](1)
+      assert(frags.nonEmpty && frags.length <= 2)
+      assert(frags.exists(f => f.contains("<em>spark</em>") || f.contains("<em>merge</em>")))
+      frags.foreach(f => assert(f.replaceAll("</?em>", "").length >= 18))
+    }
+  }
+
+  test("highlighter unit behavior") {
+    val fr = graft.query.Highlighter.fragments(
+      "Paxos made simple is a paper about paxos consensus", Seq("paxos"), 2, 20)
+    assert(fr.length === 2)
+    assert(fr.head.startsWith("<em>Paxos</em>"))
+    // word-boundary: no partial-word wraps (fragLen covers the whole text)
+    val fr2 = graft.query.Highlighter.fragments("sparks spark", Seq("spark"), 1, 30)
+    assert(fr2.head === "sparks <em>spark</em>")
+  }
+
+  test("rewriteDebug exposes per-term df (reference ?rewrite=true)") {
+    val idx = Engine.documentsIndex(spark, sfDir)
+    val s = new Searcher(idx)
+    val dfs = s.rewriteDebug("spark merge")
+    assert(dfs.keySet === Set(("default", "spark"), ("default", "merge")))
+    assert(dfs.values.forall(_ > 0))
+  }
+
+  test("sort spec round-trips through search options (reference ?sort=)") {
+    val sorts = QueryParser.parseSort("\\n_chars<long>,/source")
+    assert(sorts.head.field === "n_chars" && !sorts.head.ascending)
+    val idx = Engine.documentsIndex(spark, sfDir)
+    val s = new Searcher(idx, SearchOptions(limit = 5, sort = sorts))
+    val rows = s.search("spark").select("sort_0").collect().map(_.getLong(0))
+    assert(rows.toSeq === rows.sortBy(-_).toSeq)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.{SearchOptions, Searcher}
+
+/** Physical-plan assertions: the plans we designed for are the plans
+  * Catalyst actually picks (prompt: ".explain the plan and iterate until
+  * it's the plan you'd want").
+  */
+class PlansSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-k is TakeOrderedAndProject (bounded heaps, no global sort)") {
+    val plan = planOf(Engine.topk(spark, sfDir, "dup"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("include_docs fetch-back is a broadcast join (reference include_docs semantics)") {
+    val s = new Searcher(Engine.documentsIndex(spark, sfDir), SearchOptions(limit = 5, includeFields = Seq("text")))
+    val plan = planOf(s.search("dup"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("rel_join broadcasts the dimension side") {
+    val plan = planOf(SparkEntry.queries("rel_join")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("date-range predicate reaches the parquet scan (PushedFilters)") {
+    val plan = planOf(SparkEntry.queries("rel_daterange")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), plan.take(3000))
+  }
+
+  test("segment term lookup pushes (field, term) filters into the parquet scan") {
+    // open un-cached so the scan is a real parquet source
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-seg").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.index.SegmentStore.build(docs, "doc_id", Engine.DocFields, dir, docsPerShard = 128)
+    val idx = graft.index.SegmentStore.open(spark, dir)
+    val searcher = new graft.index.SegmentSearcher(idx, SearchOptions(limit = 10))
+    val plan = planOf(searcher.search("dup"))
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(term,dup)"), plan.take(3000))
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(col("l_extendedprice") > 1000.0)
+    val plan = planOf(df)
+    val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"
+    assert(plan.contains(readSchema), plan.take(3000))
+  }
+
+  test("boolean query is a single-exchange aggregation (union + one groupBy)") {
+    val s = new Searcher(Engine.documentsIndex(spark, sfDir), SearchOptions(limit = 10))
+    val plan = planOf(s.scored("spark AND merge"))
+    // one hash-agg pair (partial+final) over the unioned clause frames:
+    // no join-based intersection, no extra exchanges beyond the groupBy
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n${plan.take(3000)}")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.data.TranscriptGen
+import graft.index._
+import graft.query.SearchOptions
+import graft.streaming.IncrementalIndexer
+
+/** Incremental (streaming) index maintenance ≡ batch rebuild — the Spark
+  * analog of the reference's changes-feed consumer with `last_seq`
+  * exactly-once resume (SURVEY.md §2.9).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val fields = Bench.Fields
+
+  private def turnsDF(from: Long, until: Long) = {
+    import spark.implicits._
+    TranscriptGen.transcripts(spark, until).filter(t => t.conv_id.stripPrefix("conv-").toLong >= from).toDF()
+  }
+
+  private val queries = Seq("hello", "paxos", "hello world", "hello AND world",
+    "\"paxos made simple\"", "role:assistant AND consensus")
+
+  private def topK(idx: SegmentIndex, q: String, deleted: Set[Long] = Set.empty): Seq[(Long, Double)] =
+    new SegmentSearcher(idx, SearchOptions(limit = 10), deleted).topK(q)
+
+  private lazy val batchIndex: SegmentIndex = {
+    val dir = Files.createTempDirectory("graft-batch-all").toString
+    val all = DocIds.assign(turnsDF(0, 80), Seq("conv_id", "turn_idx"), "docId", 8)
+    SegmentStore.build(all, "docId", fields, dir, docsPerShard = 257)
+    SegmentStore.open(spark, dir).cached()
+  }
+
+  test("appendBatch generations ≡ one-shot batch build, and replays are no-ops") {
+    val dir = Files.createTempDirectory("graft-inc").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 60), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    IncrementalIndexer.appendBatch(turnsDF(60, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val metaAfter = IncrementalIndexer.readMeta(dir)
+    // replay batch 1 — must be a no-op (reference DatabaseIndexer.java:361 guard)
+    IncrementalIndexer.appendBatch(turnsDF(60, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    assert(IncrementalIndexer.readMeta(dir) === metaAfter)
+
+    val inc = SegmentStore.openMerged(spark, dir)
+    queries.foreach { q =>
+      val a = topK(inc, q)
+      val b = topK(batchIndex, q)
+      assert(a.map(_._1) === b.map(_._1), s"docIds differ for q=$q")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) <= 1e-9) }
+    }
+  }
+
+  test("Structured Streaming foreachBatch maintains the index over arriving files") {
+    val src = Files.createTempDirectory("graft-src").toString
+    val dir = Files.createTempDirectory("graft-inc-stream").toString
+    val schema = turnsDF(0, 1).schema
+    val q = IncrementalIndexer.start(src, dir, fields, spark, schema, Seq("conv_id", "turn_idx"))
+    try {
+      turnsDF(0, 60).coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+      turnsDF(60, 80).coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val inc = SegmentStore.openMerged(spark, dir)
+    queries.take(3).foreach { qq =>
+      assert(topK(inc, qq).map(_._1) === topK(batchIndex, qq).map(_._1), s"q=$qq")
+    }
+  }
+
+  test("tombstone deletes are honored at query time and dropped by optimize (_expunge/_optimize)") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val all = DocIds.assign(turnsDF(0, 80), Seq("conv_id", "turn_idx"), "docId", 8).persist()
+    SegmentStore.build(all, "docId", fields, dir, docsPerShard = 257)
+    val victims = topK(SegmentStore.open(spark, dir), "hello").take(3).map(_._1)
+    SegmentStore.deleteDocs(spark, dir, victims)
+    val deleted = SegmentStore.deletedDocs(spark, dir)
+    assert(deleted === victims.toSet)
+    val idx = SegmentStore.open(spark, dir).cached()
+    val got = topK(idx, "hello", deleted)
+    assert(got.map(_._1).intersect(victims).isEmpty)
+
+    // optimize: physical removal + stats recomputed == fresh build minus victims
+    val optDir = Files.createTempDirectory("graft-opt").toString
+    SegmentStore.optimize(spark, dir, optDir, docsPerShard = 257)
+    val opt = SegmentStore.open(spark, optDir).cached()
+    val refDir = Files.createTempDirectory("graft-ref").toString
+    SegmentStore.build(all.filter(!col("docId").isin(victims: _*)), "docId", fields, refDir, docsPerShard = 257)
+    val ref = SegmentStore.open(spark, refDir).cached()
+    queries.foreach { qq =>
+      val a = topK(opt, qq)
+      val b = topK(ref, qq)
+      assert(a.map(_._1) === b.map(_._1), s"optimize differs from rebuild for q=$qq")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) <= 1e-9) }
+    }
+    val info = SegmentStore.info(spark, optDir)
+    assert(info("doc_count").asInstanceOf[Long] > 0)
+    assert(info("deleted_count") === 0)
+  }
+}
