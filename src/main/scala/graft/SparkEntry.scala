@@ -91,6 +91,15 @@ object SparkEntry {
         .filter(col("field") === "default" && col("docId") < 5)
         .select(col("docId").as("doc_id"), col("term"), explode(col("positions")).as("p"))
         .select(col("doc_id"), col("term"), col("p").cast("long").as("pos"))),
+    "op_tokenize_expr" -> ((s, d) => {
+      // the same tokenization through the native Catalyst expression
+      // (codegen'd, registered via SparkSessionExtensions)
+      graft.functions.GraftExtensions.register(s)
+      docsTable(s, d).createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id, t.term AS term, CAST(t.pos AS BIGINT) AS pos
+               FROM graft_docs LATERAL VIEW explode(graft_tokenize(text)) x AS t
+               WHERE doc_id < 5""")
+    }),
     "op_index_stats" -> ((s, d) => {
       import s.implicits._
       val fs = Engine.documentsIndex(s, d).fieldStats("default")
@@ -201,6 +210,7 @@ object SparkEntry {
     "seg_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),
     "op_docid_rank" -> OpsOracle.docidRank,
     "op_tokenize" -> OpsOracle.tokenizeSample,
+    "op_tokenize_expr" -> OpsOracle.tokenizeSample,
     "op_index_stats" -> OpsOracle.indexStats,
     "op_dedup_exact" -> OpsOracle.dedupExact,
     "op_minhash_sig" -> OpsOracle.minhashSig(),
