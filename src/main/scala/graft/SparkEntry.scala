@@ -57,6 +57,13 @@ object SparkEntry {
         .search("dup")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
           col("rank").cast("long").as("rank"), col("text"))),
+    "ft_highlight" -> ((s, d) =>
+      // rows-only driver check (fragment text isn't SQL-expressible):
+      // top-5 hits with <em>-wrapped best fragments of the text field
+      searcher(s, d, SearchOptions(limit = 5, highlights = 2, highlightLength = 60))
+        .search("spark merge")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          concat_ws(" … ", col("highlights")).as("highlights"))),
     "ft_total" -> ((s, d) => {
       import s.implicits._
       Seq(searcher(s, d).totalRows("spark merge")).toDF("total_rows")

@@ -51,6 +51,25 @@ class EngineSpec extends SparkSpec {
     assert(fr2.head === "sparks <em>spark</em>")
   }
 
+  test("edge cases: stop-word-only, unknown-term, and over-skip queries return empty") {
+    val idx = Engine.documentsIndex(spark, sfDir)
+    val s = new Searcher(idx, SearchOptions(limit = 10))
+    assert(s.search("the").count() === 0) // analyzer drops the clause (Lucene null query)
+    assert(s.search("zzzznotaterm").count() === 0)
+    assert(s.search("the AND of").count() === 0)
+    // skip beyond the hit count → empty page, no error
+    val far = new Searcher(idx, SearchOptions(limit = 10, skip = 100000))
+    assert(far.search("dup").count() === 0)
+    // MUST_NOT-only queries match nothing (Lucene semantics)
+    assert(s.search("-dup").count() === 0)
+    // unknown term under AND kills the conjunction
+    assert(s.search("dup AND zzzznotaterm").count() === 0)
+    // segment path agrees
+    val seg = new graft.index.SegmentSearcher(Engine.segmentIndex(spark, sfDir))
+    assert(seg.topK("the").isEmpty)
+    assert(seg.topK("dup AND zzzznotaterm").isEmpty)
+  }
+
   test("rewriteDebug exposes per-term df (reference ?rewrite=true)") {
     val idx = Engine.documentsIndex(spark, sfDir)
     val s = new Searcher(idx)
