@@ -123,6 +123,7 @@ object SparkEntry {
     "op_embed_pairs" -> ((s, d) => graft.ops.Similarity.cosinePairsTop(embTable(s, d), "vec_id", "embedding", "label")),
     "op_ann_brute" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(embTable(s, d), "vec_id", "embedding", 0)),
     "op_ann_lsh" -> ((s, d) => graft.ops.Similarity.lshTopK(embTable(s, d), "vec_id", "embedding", 0)),
+    "op_ann_ivf" -> ((s, d) => graft.ops.Similarity.ivfTopK(embTable(s, d), "vec_id", "embedding", 42)),
     // training-data pipeline: text analysis
     "op_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(docsTable(s, d), "doc_id", "text")),
     "op_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(docsTable(s, d), "doc_id", "text")),
@@ -227,6 +228,7 @@ object SparkEntry {
     "op_embed_pairs" -> OpsOracle.embedPairsTop(),
     "op_ann_brute" -> OpsOracle.annBrute(),
     "op_ann_lsh" -> OpsOracle.annLsh(),
+    "op_ann_ivf" -> OpsOracle.annIvf(),
     "op_langid" -> OpsOracle.langId,
     "op_quality" -> OpsOracle.quality,
     "op_tokens" -> OpsOracle.tokenCounts,

@@ -21,12 +21,21 @@ object Scorers {
     private var decoded: Array[Decoded] = _
     private var di = 0
 
+    /** Observability: how many blocks were actually decoded — WAND's skip
+      * effectiveness is (decodedBlocks / totalBlocks).
+      */
+    var decodedBlocks: Int = 0
+    def totalBlocks: Int = blocks.length
+
     advanceBlock()
 
     private def advanceBlock(): Unit = {
       decoded = null
       di = 0
-      if (bi < blocks.length) { decoded = Codec.decode(blocks(bi)) }
+      if (bi < blocks.length) {
+        decoded = Codec.decode(blocks(bi))
+        decodedBlocks += 1
+      }
     }
 
     def doc: Long = if (decoded == null) NoMoreDocs else decoded(di).docId
@@ -108,7 +117,7 @@ object Scorers {
   /** Exact-phrase scorer: conjunction of the terms' iterators + consecutive
     * position check; tf = phrase frequency, weight = Σ idf.
     */
-  final class PhraseScorer(its: IndexedSeq[TermIterator], weight: Double, avgdl: Double)
+  final class PhraseScorer(its: IndexedSeq[TermIterator], slop: Int, weight: Double, avgdl: Double)
       extends DocScorer {
     private var curDoc: Long = -1L
     private var curFreq: Int = 0
@@ -129,24 +138,8 @@ object Scorers {
       target
     }
 
-    private def phraseFreq(): Int = {
-      val sets = its.map(it => it.current.positions)
-      val first = sets.head
-      var f = 0
-      var i = 0
-      while (i < first.length) {
-        val p = first(i)
-        var ok = true
-        var j = 1
-        while (ok && j < sets.length) {
-          ok = java.util.Arrays.binarySearch(sets(j), p + j) >= 0
-          j += 1
-        }
-        if (ok) f += 1
-        i += 1
-      }
-      f
-    }
+    private def phraseFreq(): Int =
+      graft.query.PhraseMatch.freq(its.map(_.current.positions).toArray, slop)
 
     private def findNext(target: Long): Unit = {
       var t = target

@@ -14,7 +14,7 @@ import graft.query._
   */
 sealed trait SQ extends Serializable
 final case class STerm(field: String, term: String, weight: Double, avgdl: Double) extends SQ
-final case class SPhrase(field: String, terms: Seq[String], weight: Double, avgdl: Double) extends SQ
+final case class SPhrase(field: String, terms: Seq[String], slop: Int, weight: Double, avgdl: Double) extends SQ
 final case class SConst(field: String, terms: Seq[String]) extends SQ
 final case class SBool(musts: Seq[SQ], shoulds: Seq[SQ], nots: Seq[SQ]) extends SQ
 final case class SBoost(inner: SQ, boost: Double) extends SQ
@@ -83,10 +83,10 @@ final class SegmentSearcher(
       case EmptyQ => SEmpty
       case TermQ(f, t) =>
         weight(f, t).map(w => STerm(f, t, w, si.fieldStats(f).avgdl)).getOrElse(SEmpty)
-      case PhraseQ(f, terms, _) =>
+      case PhraseQ(f, terms, slop) =>
         val ws = terms.map(weight(f, _))
         if (ws.exists(_.isEmpty)) SEmpty
-        else SPhrase(f, terms, ws.flatten.sum, si.fieldStats(f).avgdl)
+        else SPhrase(f, terms, slop, ws.flatten.sum, si.fieldStats(f).avgdl)
       case BoolQ(cs) =>
         val m = cs.filter(_.occur == Occur.Must).map(c => go(c.q))
         val s = cs.filter(_.occur == Occur.Should).map(c => go(c.q))
@@ -162,7 +162,7 @@ object SegmentSearcher {
 
   def leafTerms(sq: SQ): Seq[(String, String)] = sq match {
     case STerm(f, t, _, _) => Seq((f, t))
-    case SPhrase(f, ts, _, _) => ts.map((f, _))
+    case SPhrase(f, ts, _, _, _) => ts.map((f, _))
     case SConst(f, ts) => ts.map((f, _))
     case SBool(m, s, n) => (m ++ s ++ n).flatMap(leafTerms)
     case SBoost(i, _) => leafTerms(i)
@@ -174,8 +174,8 @@ object SegmentSearcher {
   def buildScorer(sq: SQ, byTerm: Map[(String, String), IndexedSeq[Block]]): DocScorer = sq match {
     case STerm(f, t, w, avgdl) =>
       new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)
-    case SPhrase(f, ts, w, avgdl) =>
-      new PhraseScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq, w, avgdl)
+    case SPhrase(f, ts, slop, w, avgdl) =>
+      new PhraseScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq, slop, w, avgdl)
     case SConst(f, ts) =>
       new ConstScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq)
     case SBoost(inner, b) => new BoostScorer(buildScorer(inner, byTerm), b)

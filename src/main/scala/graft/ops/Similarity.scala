@@ -60,6 +60,38 @@ object Similarity {
       .limit(k)
   }
 
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-style ANN: a fixed coarse codebook (the first `nCentroids` vectors
+    * stand in for trained k-means centroids — deterministic, so the oracle
+    * can recompute the structure), one assignment pass (argmin L2, ties by
+    * centroid id), probe = top-k cosine within the query's cell only. At
+    * cluster scale the cell id is the partition key: a probe reads one
+    * partition instead of the corpus.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, nCentroids: Int = 8): DataFrame = {
+    val cent = broadcast(emb.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("dist").asc, col("cid").asc)
+    val assign = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+      .crossJoin(cent)
+      .select(col("vid"), col("v"), col("cid"), l2sq(col("v"), col("ce")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+    val qcell = broadcast(assign.filter(col("vid") === queryId)
+      .select(col("v").as("qvec"), col("cid").as("qcid")))
+    assign.crossJoin(qcell)
+      .filter(col("cid") === col("qcid") && col("vid") =!= queryId)
+      .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: label-blocked (never unblocked
     * N²) top-k most similar pairs.
     */

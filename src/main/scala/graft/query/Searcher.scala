@@ -218,11 +218,11 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
             .select(col("docId"), bm25Col(theIdf, fs.avgdl, col("tf").cast("double"), col("dl").cast("double")).as("score"))
       }
 
-    case PhraseQ(f, terms, _) =>
+    case PhraseQ(f, terms, slop) =>
       // positional join: intersect the terms' postings on docId, then count
-      // positions p in t0 with p+i present in ti for all i (slop 0 —
-      // exact-phrase, matching the quoted-path semantics the reference
-      // serves via Lucene's PhraseQuery).
+      // phrase occurrences. Exact phrases stay a codegen'd higher-order
+      // array expression; sloppy phrases evaluate the shared PhraseMatch
+      // kernel over the (few) candidate rows.
       if (terms.exists(t => !stats.contains((f, t)))) return emptyHits
       val fs = index.fieldStats(f)
       val sumIdf = terms.map(t => IndexBuilder.idf(stats((f, t)).df, fs.docCount)).sum
@@ -234,11 +234,25 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       val joined = frames.zipWithIndex
         .map { case (fr, idx) => if (idx == 0) fr else fr.drop("dl") }
         .reduce((a, b) => a.join(b, Seq("docId")))
-      val matchCond = (1 until terms.length)
-        .map(idx => (p: Column) => array_contains(col(s"p$idx"), p + lit(idx)))
-      val freq = size(filter(col("p0"), p => matchCond.map(_(p)).reduce(_ && _)))
-      joined
-        .withColumn("pf", freq.cast("double"))
+      val withFreq: DataFrame =
+        if (slop <= 0) {
+          val matchCond = (1 until terms.length)
+            .map(idx => (p: Column) => array_contains(col(s"p$idx"), p + lit(idx)))
+          joined.withColumn("pf",
+            size(filter(col("p0"), p => matchCond.map(_(p)).reduce(_ && _))).cast("double"))
+        } else {
+          val nTerms = terms.length
+          val theSlop = slop
+          val schema = joined.schema
+            .add("pf", org.apache.spark.sql.types.DoubleType, nullable = false)
+          val posIdx = (0 until nTerms).map(i => joined.schema.fieldIndex(s"p$i"))
+          joined.map { row =>
+            val positions = posIdx.map(ix => row.getSeq[Int](ix).toArray).toArray
+            org.apache.spark.sql.Row.fromSeq(
+              row.toSeq :+ PhraseMatch.freq(positions, theSlop).toDouble)
+          }(org.apache.spark.sql.Encoders.row(schema))
+        }
+      withFreq
         .filter(col("pf") > 0)
         .select(col("docId"), bm25Col(sumIdf, fs.avgdl, col("pf"), col("dl").cast("double")).as("score"))
 

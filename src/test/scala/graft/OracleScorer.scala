@@ -100,15 +100,14 @@ final class OracleScorer(docs: Seq[(Long, Map[String, String])], fields: Seq[Fie
           pl.map { case (d, (tf, _)) => d -> bm25(tf.toDouble, theIdf, dl((d, f)), avg) }.toMap
       }
 
-    case PhraseQ(f, terms, _) =>
+    case PhraseQ(f, terms, slop) =>
       val pls = terms.map(t => postings.getOrElse((f, t), scala.collection.mutable.Map.empty[Long, (Int, Array[Int])]))
       if (pls.exists(_.isEmpty)) return Map.empty
       val sumIdf = terms.map(idf(f, _)).sum
       val avg = avgdl(f)
       val candidates = pls.map(_.keySet).reduce(_ intersect _)
       candidates.iterator.flatMap { d =>
-        val posSets = pls.map(_(d)._2.toSet)
-        val freq = pls.head(d)._2.count(p => (1 until terms.length).forall(i => posSets(i).contains(p + i)))
+        val freq = graft.query.PhraseMatch.freq(pls.map(_(d)._2).toArray, slop)
         if (freq > 0) Some(d -> bm25(freq.toDouble, sumIdf, dl((d, f)), avg)) else None
       }.toMap
 

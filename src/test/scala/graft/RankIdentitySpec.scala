@@ -57,7 +57,9 @@ class RankIdentitySpec extends SparkSpec {
     "quor?m", // wildcard
     "paxoss~1", // fuzzy
     "merge^2 OR shuffle", // boost
-    "(hello OR world) AND retry") // nesting
+    "(hello OR world) AND retry", // nesting
+    "\"hello world\"~2", // ordered sloppy phrase
+    "\"paxos simple\"~1") // slop bridges the dropped middle word
 
   private def engineTopK(q: String, k: Int = 10, defaultAnd: Boolean = false): Seq[(Long, Double)] = {
     val s = new Searcher(engineIndex, SearchOptions(limit = k, defaultOperatorAnd = defaultAnd))
@@ -74,6 +76,24 @@ class RankIdentitySpec extends SparkSpec {
       }
       assert(want.nonEmpty, s"query set fixture q=$q matched nothing — fixture broken")
     }
+  }
+
+  test("slop widens the match set; segment path agrees (ordered near-phrase)") {
+    val s = new Searcher(engineIndex)
+    val exact = s.totalRows("\"paxos simple\"")
+    val sloppy = s.totalRows("\"paxos simple\"~1")
+    // "paxos made simple" is injected as a fixed phrase: adjacent
+    // (paxos, simple) is rare, one-gap (via dropped "made"? no — "made" is
+    // not a stop word, so slop must bridge a real token) is common
+    assert(sloppy > exact)
+    val wantSloppy = oracle.score(oracle.bind(new QueryParser().parse("\"paxos simple\"~1"))).size
+    assert(sloppy === wantSloppy.toLong)
+    // unit kernel checks
+    import graft.query.PhraseMatch
+    assert(PhraseMatch.freq(Array(Array(0), Array(2)), 0) === 0)
+    assert(PhraseMatch.freq(Array(Array(0), Array(2)), 1) === 1)
+    assert(PhraseMatch.freq(Array(Array(0, 10), Array(2, 11)), 1) === 2)
+    assert(PhraseMatch.freq(Array(Array(5), Array(3)), 5) === 0) // ordered only
   }
 
   test("default_operator=AND changes semantics (reference DatabaseIndexer.java:478-479)") {

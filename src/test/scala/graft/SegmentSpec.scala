@@ -38,7 +38,8 @@ class SegmentSpec extends SparkSpec {
     "\"paxos made simple\"", "\"hello world\"",
     "role:assistant AND consensus", "tool:bash AND error",
     "hello -world", "lead*", "quor?m", "paxoss~1",
-    "merge^2 OR shuffle", "(hello OR world) AND retry")
+    "merge^2 OR shuffle", "(hello OR world) AND retry",
+    "\"hello world\"~2", "\"paxos simple\"~1")
 
   test("segment path matches the DataFrame path rank-identically") {
     queries.foreach { q =>

@@ -82,4 +82,23 @@ class WandSpec extends AnyFunSuite with GenSamples {
       }
     }
   }
+
+  test("WAND actually skips blocks: rare term + hot term decodes a fraction of the hot postings") {
+    // hot term: every 2nd doc over 2M ids (many blocks); rare term: 5 docs.
+    // The rare term's high idf dominates: once the heap holds rare-doc
+    // scores, hot-only blocks can't beat the threshold and are skipped.
+    val hot = (0L until 2000000L by 2L).map(d => Decoded(d, 1, 30, Array(0))).toVector
+    val rare = Vector(100001L, 500001L, 900001L, 1300001L, 1700001L)
+      .map(d => Decoded(d, 5, 30, Array(0, 1, 2, 3, 4)))
+    val hotIt = new TermIterator(Codec.encode(hot.iterator, avgdl))
+    val rareIt = new TermIterator(Codec.encode(rare.iterator, avgdl))
+    val scorers = IndexedSeq(
+      new TermScorer(hotIt, 0.05).withAvgdl(avgdl),   // low idf
+      new TermScorer(rareIt, 12.0).withAvgdl(avgdl))  // high idf
+    val got = wandTopK(scorers, 5)
+    assert(got.map(_._1).toSet === rare.map(_.docId).toSet) // rare docs win
+    val frac = hotIt.decodedBlocks.toDouble / hotIt.totalBlocks
+    assert(frac < 0.05, f"expected <5%% of hot blocks decoded, got ${frac * 100}%.1f%% " +
+      s"(${hotIt.decodedBlocks}/${hotIt.totalBlocks})")
+  }
 }
