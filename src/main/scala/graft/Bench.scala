@@ -159,7 +159,7 @@ object Bench {
     // BACK-TO-BACK (4N, N) pair — the noise regime is shared within a pair
     // and cancels in the throughput ratio; we report the median pair ratio
     // plus the best observed absolute throughputs.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
     val n4Cores = nCores * 4
     scalingRun(n4Cores, numConvs / 8, rounds) // JIT/IO warm-up, unmeasured

@@ -22,9 +22,6 @@ object SparkEntry {
   private def searcher(s: SparkSession, dir: String, opts: SearchOptions = SearchOptions(limit = 10)): Searcher =
     new Searcher(Engine.documentsIndex(s, dir), opts)
 
-  private def shaped(df: DataFrame): DataFrame =
-    df.select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"), col("rank").cast("long").as("rank"))
-
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6 term / boolean / phrase / field queries, BM25-scored top-k

@@ -147,27 +147,6 @@ object IndexBuilder {
     }
   }
 
-  /** Per-(doc, field) lengths, computed in a second cheap pass over the
-    * source (scan-only, no shuffle) — feeds fieldStats.
-    */
-  def docLengths(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[DocLength] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val cols = col(docIdCol).cast(LongType) +: fields.map(f => col(f.source).cast(StringType))
-    docs.select(cols: _*).flatMap { row =>
-      val docId = row.getLong(0)
-      fields.iterator.zipWithIndex.flatMap { case (f, i) =>
-        if (row.isNullAt(i + 1)) Iterator.empty
-        else f.kind match {
-          case TextField(analyzer) =>
-            val dl = analyzer.tokens(row.getString(i + 1)).length
-            if (dl == 0) Iterator.empty else Iterator.single(DocLength(docId, f.indexField, dl))
-          case StringField => Iterator.single(DocLength(docId, f.indexField, 1))
-        }
-      }
-    }
-  }
-
   /** Salted two-phase term statistics: partial (term, salt) combine, then
     * final merge — no reducer ever sees a hot term's full stream.
     */
@@ -182,22 +161,9 @@ object IndexBuilder {
       .as[TermStats]
   }
 
-  def fieldStats(lengths: Dataset[DocLength]): Map[String, FieldStats] = {
-    val spark = lengths.sparkSession
-    import spark.implicits._
-    lengths
-      .groupBy($"field")
-      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
-      .as[FieldStats]
-      .collect()
-      .map(fs => fs.field -> fs)
-      .toMap
-  }
-
   /** Field stats derived from postings (dl is denormalized into every
     * posting) — avoids a second scan+tokenize of the corpus, which is the
-    * dominant cost at scale. Equivalent to [[fieldStats]] over
-    * [[docLengths]]: both see exactly the docs with ≥1 indexed token.
+    * dominant cost at scale; sees exactly the docs with ≥1 indexed token.
     */
   def fieldStatsFromPostings(postings: Dataset[Posting]): DataFrame = {
     val spark = postings.sparkSession

@@ -50,8 +50,6 @@ final case class LineageRow(stage: String, pid: Int, rowsIn: Long, rowsOut: Long
   */
 object SegmentStore {
 
-  val Stages = Seq("spec", "stats", "segments")
-
   private def ckptPath(dir: String, stage: String) = Paths.get(s"$dir/checkpoints/$stage.json")
 
   def stageDone(dir: String, stage: String): Boolean = Files.exists(ckptPath(dir, stage))
