@@ -73,12 +73,12 @@ object OpsOracle {
        |  GROUP BY c.a, c.b
        |)
        |SELECT c.a AS a, c.b AS b,
-       |       round(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)), 6) AS jaccard
+       |       floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
        |FROM cand c
        |JOIN sizes na ON na.doc_id = c.a
        |JOIN sizes nb ON nb.doc_id = c.b
        |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-       |WHERE round(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)), 6) >= $minJaccard""".stripMargin
+       |WHERE floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 >= $minJaccard""".stripMargin
   }
 
   def simhash(bits: Int = 32): String = {
@@ -114,7 +114,7 @@ object OpsOracle {
        |  GROUP BY p.a, p.b
        |)
        |SELECT p.a AS a, p.b AS b,
-       |       round(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)), 6) AS jaccard
+       |       floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
        |FROM pairs p
        |JOIN sizes na ON na.doc_id = p.a
        |JOIN sizes nb ON nb.doc_id = p.b
@@ -211,11 +211,12 @@ object OpsOracle {
        |             count(DISTINCT term)::DOUBLE AS uniq
        |      FROM tok GROUP BY doc_id)
        |SELECT doc_id, n::BIGINT AS n_tokens,
-       |       round(slen / greatest(n, 1.0), 4) AS mean_token_len,
-       |       round(stops / greatest(n, 1.0), 4) AS stop_ratio,
-       |       round(uniq / greatest(n, 1.0), 4) AS ttr,
-       |       round(least(n / 100.0, 1.0) * 0.4 + (1.0 - stops / greatest(n, 1.0)) * 0.3
-       |             + (uniq / greatest(n, 1.0)) * 0.3, 4) AS quality
+       |       floor(slen / greatest(n, 1.0) * 10000.0 + 0.5) / 10000.0 AS mean_token_len,
+       |       floor(stops / greatest(n, 1.0) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+       |       floor(uniq / greatest(n, 1.0) * 10000.0 + 0.5) / 10000.0 AS ttr,
+       |       floor((4.0 * least(n, 100.0) * greatest(n, 1.0)
+       |              + 300.0 * (greatest(n, 1.0) - stops) + 300.0 * uniq)
+       |             / (1000.0 * greatest(n, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM g""".stripMargin
 
   val tokenCounts: String =

@@ -84,7 +84,7 @@ object Dedup {
       .join(shingleSets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .withColumn("jaccard", floor(col("inter") / col("uni") * 1000000.0 + 0.5) / 1000000.0)
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -114,8 +114,8 @@ object Dedup {
     sets.as("x").join(sets.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        round(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh"))).cast("double"), 6).as("jaccard"))
+        (floor(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))).cast("double") * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
       .limit(k)
   }

@@ -38,16 +38,28 @@ object TextAnalysis {
     val n = size(toks).cast("double")
     val nz = greatest(size(toks), lit(1)).cast("double")
     val meanLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nz
-    val stopRatio = size(filter(toks, t => t.isin(enStops: _*))).cast("double") / nz
-    val ttr = size(array_distinct(toks)).cast("double") / nz
-    val score = least(n / lit(100.0), lit(1.0)) * 0.4 + (lit(1.0) - stopRatio) * 0.3 + ttr * 0.3
+    val stops = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
+    val stopRatio = stops / nz
+    val uniq = size(array_distinct(toks)).cast("double")
+    val ttr = uniq / nz
+    // composite 0.4·min(n,100)/100 + 0.3·(1−stop_ratio) + 0.3·ttr, computed
+    // as ONE exact integer-rational division — a multi-term double sum can
+    // land exactly on a .00005 rounding boundary where 1-ulp engine
+    // differences flip round(·,4) (observed vs DuckDB at sf0.1)
+    val score = (lit(4.0) * least(n, lit(100.0)) * nz +
+      lit(300.0) * (nz - stops) + lit(300.0) * uniq) / (lit(1000.0) * nz)
+    // arithmetic rounding floor(x*1e4+0.5)/1e4: these are rational values
+    // that can land exactly on the rounding grid, where Spark's decimal-
+    // string HALF_UP and DuckDB's binary rounding disagree; floor-based
+    // rounding is the same pure double pipeline in both engines
+    def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       n.cast("long").as("n_tokens"),
-      round(meanLen, 4).as("mean_token_len"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(ttr, 4).as("ttr"),
-      round(score, 4).as("quality"))
+      r4(meanLen).as("mean_token_len"),
+      r4(stopRatio).as("stop_ratio"),
+      r4(ttr).as("ttr"),
+      r4(score).as("quality"))
   }
 
   /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish

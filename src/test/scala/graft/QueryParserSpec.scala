@@ -103,4 +103,21 @@ class QueryParserSpec extends AnyFunSuite {
       SortField("other", None, false),
       SortField("_score", None, true)))
   }
+
+  test("PhraseMatch properties: slop-monotone, exact==slop0, bounded by min df") {
+    import graft.query.PhraseMatch
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val nTerms = 2 + rng.nextInt(3)
+      val positions = Array.fill(nTerms)(
+        Array.fill(1 + rng.nextInt(12))(rng.nextInt(60)).distinct.sorted)
+      val freqs = (0 to 8).map(s => PhraseMatch.freq(positions, s))
+      // monotone non-decreasing in slop
+      freqs.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
+      // exact == slop 0 kernel
+      assert(freqs.head === PhraseMatch.exactFreq(positions))
+      // can never exceed the first term's occurrence count
+      assert(freqs.last <= positions.head.length)
+    }
+  }
 }
