@@ -46,7 +46,11 @@ object OpsOracle {
        |FROM sh GROUP BY doc_id""".stripMargin
   }
 
-  def minhashPairs(numHashes: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.5): String = {
+  /** Shared LSH candidate CTEs (sig → bands → capped neighbor pairs),
+    * mirroring Dedup.lshCandidates: within each band bucket, docs ranked by
+    * doc_id pair only with their next `maxNeighbors` successors.
+    */
+  private def lshCandCtes(numHashes: Int, rowsPerBand: Int, maxNeighbors: Int): String = {
     val mins = (0 until numHashes)
       .map(i => s"min(${h64(s"shingle || '#$i'")}) AS h$i").mkString(", ")
     val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
@@ -54,32 +58,47 @@ object OpsOracle {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $key AS bucket FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""WITH $shingleCtes,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    s"""sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |$bandSelects
        |),
+       |ranked AS (
+       |  SELECT doc_id, bucket, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       |  FROM bands
+       |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-       |),
-       |sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
-       |sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sets GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.a, c.b, count(*)::DOUBLE AS i
-       |  FROM cand c
-       |  JOIN sets sa ON sa.doc_id = c.a
-       |  JOIN sets sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-       |  GROUP BY c.a, c.b
-       |)
-       |SELECT c.a AS a, c.b AS b,
-       |       floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |FROM cand c
-       |JOIN sizes na ON na.doc_id = c.a
-       |JOIN sizes nb ON nb.doc_id = c.b
-       |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-       |WHERE floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 >= $minJaccard""".stripMargin
+       |  FROM ranked x JOIN ranked y
+       |    ON x.bucket = y.bucket AND y.rn > x.rn AND y.rn <= x.rn + $maxNeighbors
+       |)""".stripMargin
   }
+
+  /** Verified-Jaccard body over `cand` + `sh` CTEs. */
+  private val jaccardBody: String =
+    """sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sets GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*)::DOUBLE AS i
+      |  FROM cand c
+      |  JOIN sets sa ON sa.doc_id = c.a
+      |  JOIN sets sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      |  GROUP BY c.a, c.b
+      |),
+      |jac AS (
+      |  SELECT c.a AS a, c.b AS b,
+      |         floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+      |  FROM cand c
+      |  JOIN sizes na ON na.doc_id = c.a
+      |  JOIN sizes nb ON nb.doc_id = c.b
+      |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      |)""".stripMargin
+
+  def minhashPairs(numHashes: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      maxNeighbors: Int = 16): String =
+    s"""WITH $shingleCtes,
+       |${lshCandCtes(numHashes, rowsPerBand, maxNeighbors)},
+       |$jaccardBody
+       |SELECT a, b, jaccard FROM jac WHERE jaccard >= $minJaccard""".stripMargin
 
   def simhash(bits: Int = 32): String = {
     val sums = (0 until bits)
@@ -97,28 +116,12 @@ object OpsOracle {
        |SELECT doc_id, ($fp)::BIGINT AS simhash FROM s""".stripMargin
   }
 
-  def ngramJaccardTop(k: Int = 20): String =
+  def ngramJaccardTop(k: Int = 20, numHashes: Int = 8, rowsPerBand: Int = 4,
+      maxNeighbors: Int = 16): String =
     s"""WITH $shingleCtes,
-       |sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
-       |sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sets GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT d1.doc_id AS a, d2.doc_id AS b
-       |  FROM documents d1 JOIN documents d2
-       |    ON d1.source = d2.source AND d1.doc_id < d2.doc_id
-       |),
-       |inter AS (
-       |  SELECT p.a, p.b, count(*)::DOUBLE AS i
-       |  FROM pairs p
-       |  JOIN sets sa ON sa.doc_id = p.a
-       |  JOIN sets sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
-       |  GROUP BY p.a, p.b
-       |)
-       |SELECT p.a AS a, p.b AS b,
-       |       floor(coalesce(i.i, 0.0) / (na.n + nb.n - coalesce(i.i, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |FROM pairs p
-       |JOIN sizes na ON na.doc_id = p.a
-       |JOIN sizes nb ON nb.doc_id = p.b
-       |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+       |${lshCandCtes(numHashes, rowsPerBand, maxNeighbors)},
+       |$jaccardBody
+       |SELECT a, b, jaccard FROM jac
        |ORDER BY jaccard DESC, a ASC, b ASC LIMIT $k""".stripMargin
 
   // ---- embeddings -------------------------------------------------------
@@ -130,15 +133,24 @@ object OpsOracle {
        |             sum(x::DOUBLE * x::DOUBLE) AS na, sum(y::DOUBLE * y::DOUBLE) AS nb
        |      FROM u GROUP BY a, b)""".stripMargin
 
-  def embedPairsTop(k: Int = 20): String =
-    s"""WITH ${cosineFrom(
-      """p AS (
-        |  SELECT x.vec_id AS a, y.vec_id AS b, x.embedding AS ea, y.embedding AS eb
-        |  FROM embeddings x JOIN embeddings y
-        |    ON x.label = y.label AND x.vec_id < y.vec_id
-        |)""".stripMargin)}
+  def embedPairsTop(k: Int = 20, bits: Int = 6, maxNeighbors: Int = 32): String = {
+    val bucket = (0 until bits)
+      .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH bkt AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |rk AS (
+       |  SELECT vec_id, embedding, bucket,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+       |  FROM bkt
+       |),
+       |${cosineFrom(
+      s"""p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, x.embedding AS ea, y.embedding AS eb
+         |  FROM rk x JOIN rk y
+         |    ON x.bucket = y.bucket AND y.rn > x.rn AND y.rn <= x.rn + $maxNeighbors
+         |)""".stripMargin).stripPrefix("WITH ")}
        |SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
        |FROM d ORDER BY cos_r DESC, a ASC, b ASC LIMIT $k""".stripMargin
+  }
 
   def annBrute(queryId: Long = 0, k: Int = 10): String =
     s"""WITH ${cosineFrom(

@@ -115,9 +115,9 @@ object SparkEntry {
     "op_minhash_sig" -> ((s, d) => graft.ops.Dedup.minhashSignatures(docsTable(s, d), "doc_id", "text")),
     "op_minhash_pairs" -> ((s, d) => graft.ops.Dedup.minhashPairs(docsTable(s, d), "doc_id", "text")),
     "op_simhash" -> ((s, d) => graft.ops.Dedup.simhash(docsTable(s, d), "doc_id", "text")),
-    "op_ngram_jaccard" -> ((s, d) => graft.ops.Dedup.ngramJaccardTop(docsTable(s, d), "doc_id", "text", "source")),
+    "op_ngram_jaccard" -> ((s, d) => graft.ops.Dedup.ngramJaccardTop(docsTable(s, d), "doc_id", "text")),
     // training-data pipeline: similarity search
-    "op_embed_pairs" -> ((s, d) => graft.ops.Similarity.cosinePairsTop(embTable(s, d), "vec_id", "embedding", "label")),
+    "op_embed_pairs" -> ((s, d) => graft.ops.Similarity.cosinePairsTop(embTable(s, d), "vec_id", "embedding")),
     "op_ann_brute" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(embTable(s, d), "vec_id", "embedding", 0)),
     "op_ann_lsh" -> ((s, d) => graft.ops.Similarity.lshTopK(embTable(s, d), "vec_id", "embedding", 0)),
     "op_ann_ivf" -> ((s, d) => graft.ops.Similarity.ivfTopK(embTable(s, d), "vec_id", "embedding", 42)),

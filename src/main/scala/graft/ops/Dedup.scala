@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over a document table.
@@ -9,8 +10,14 @@ import org.apache.spark.sql.functions._
   * JVM-specific hash functions in data paths.
   *
   * Scale notes: every operator is a pure column pipeline (codegen'd, no
-  * UDFs); pair generation is always blocked (band buckets / label blocks),
-  * never an unblocked O(N²) cross join.
+  * UDFs). Pair generation is always LSH-banded (candidates ∝ hash
+  * collisions, never N²) with a per-bucket neighbor cap, so even a
+  * degenerate bucket (N identical documents hashing to one band key)
+  * produces O(maxNeighbors · N) pairs, not O(N²) — the skew guard a 100 TB
+  * corpus needs, where exact-duplicate clusters with millions of members are
+  * normal. Dedup connectivity survives the cap: within a bucket each doc
+  * pairs with its `maxNeighbors` successors in docId order, so a duplicate
+  * cluster stays one connected component.
   */
 object Dedup {
 
@@ -24,16 +31,25 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Word w-shingles as space-joined strings (empty array when the doc has
-    * fewer than w tokens — guard against Spark's descending `sequence`).
+  /** Word w-shingles of a token-array column as space-joined strings.
+    *
+    * Formulated as `zip_with` over `slice`-shifted copies of the array —
+    * the array expression appears only w times total per row (not once per
+    * element), so the cost is O(w · tokens) even if Catalyst's
+    * CollapseProject inlines the token expression. The previous
+    * `transform(sequence(...), i => element_at(toks, i+j))` shape
+    * re-evaluated the full tokenize per element inside interpreted
+    * higher-order lambdas — O(tokens²) per row and 94% of the round-1 bench.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, w: Int = 3): Column = {
+    val cnt = size(toks) - (w - 1)
+    val shifted = (0 until w).map(j => slice(toks, lit(j + 1), cnt))
     when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)))
+      shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
       .otherwise(array().cast("array<string>"))
   }
+
+  def shingles(text: Column, w: Int = 3): Column = shinglesOf(tokens(text), w)
 
   /** Exact dedup: group by content hash, canonical = min doc id per group
     * (hash-groupBy — one shuffle on the 16-byte digest, scales to any N).
@@ -57,9 +73,55 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: signatures → band buckets → candidate pairs within a
-    * bucket (a<b) → verified with true shingle Jaccard. The band join is the
-    * scale path: candidates ∝ collisions, never N².
+  /** LSH band-bucket candidate pairs over minhash signatures, with the
+    * per-bucket neighbor cap: within a bucket, docs are ranked by doc_id and
+    * each pairs only with its next `maxNeighbors` successors. Candidate
+    * count is ≤ maxNeighbors · Σ|bucket| — linear in corpus size by
+    * construction, even for a degenerate all-docs-identical bucket
+    * (DedupScaleSpec proves sub-quadratic growth under doubling).
+    */
+  def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      maxNeighbors: Int = 16): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val key = concat_ws("|", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+      sig.select(col("doc_id"), key.as("bucket"))
+    }.reduce(_ unionByName _)
+    val ranked = bands.withColumn("rn",
+      row_number().over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    ranked.as("x").join(ranked.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + maxNeighbors)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** Distinct shingle sets per doc, for candidate verification. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      array_distinct(shingles(col(textCol))).as("sh"))
+
+  /** True-Jaccard verification of a candidate pair frame: joins each side's
+    * shingle set (two hash joins on doc id) and computes |∩|/|∪| with the
+    * cross-engine-stable floor rounding.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), Seq("a"))
+      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard", floor(col("inter") / col("uni") * 1000000.0 + 0.5) / 1000000.0)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** MinHash+LSH near-dup pairs: signatures → capped band buckets →
+    * candidate pairs (a<b) → verified with true shingle Jaccard. The band
+    * join is the scale path: candidates ∝ collisions, never N².
     */
   def minhashPairs(
       docs: DataFrame,
@@ -67,26 +129,11 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val key = concat_ws("|", lit(b.toString) +:
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
-      sig.select(col("doc_id"), key.as("bucket"))
-    }.reduce(_ unionByName _)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val shingleSets = docs.select(col(idCol).cast("long").as("doc_id"),
-      array_distinct(shingles(col(textCol))).as("sh"))
-    cand
-      .join(shingleSets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), Seq("a"))
-      .join(shingleSets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
-      .withColumn("jaccard", floor(col("inter") / col("uni") * 1000000.0 + 0.5) / 1000000.0)
+      minJaccard: Double = 0.5,
+      maxNeighbors: Int = 16): DataFrame = {
+    val cand = lshCandidates(docs, idCol, textCol, numHashes, rowsPerBand, maxNeighbors)
+    verifyJaccard(cand, shingleSets(docs, idCol, textCol))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** 32-bit SimHash over distinct tokens: bit j of the fingerprint is the
@@ -104,18 +151,23 @@ object Dedup {
     sums.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Top-k most similar pairs by word-3-gram Jaccard within a blocking key
-    * (here: same `source`) — n-gram Jaccard near-dup with explicit blocking.
+  /** Top-k most similar pairs by word-3-gram Jaccard. Candidate generation
+    * is LSH-banded (same machinery as [[minhashPairs]]) — round 1 blocked on
+    * a fixed-cardinality column (`source`), which is O(N²) in disguise: each
+    * block's size grows with the corpus. Band buckets grow in NUMBER, not
+    * size, as the corpus grows, and the neighbor cap bounds the degenerate
+    * bucket, so candidate count stays linear.
     */
   def ngramJaccardTop(
-      docs: DataFrame, idCol: String, textCol: String, blockCol: String, k: Int = 20): DataFrame = {
-    val sets = docs.select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("blk"),
-      array_distinct(shingles(col(textCol))).as("sh"))
-    sets.as("x").join(sets.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        (floor(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh"))).cast("double") * 1000000.0 + 0.5) / 1000000.0).as("jaccard"))
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 4,
+      maxNeighbors: Int = 16): DataFrame = {
+    val cand = lshCandidates(docs, idCol, textCol, numHashes, rowsPerBand, maxNeighbors)
+    verifyJaccard(cand, shingleSets(docs, idCol, textCol))
       .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
       .limit(k)
   }

@@ -92,13 +92,29 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: label-blocked (never unblocked
-    * N²) top-k most similar pairs.
+  /** Embedding-cosine near-duplicate pairs: sign-bucket LSH blocking with a
+    * per-bucket neighbor cap. Round 1 blocked on the fixed-cardinality
+    * `label` column — O(N²) in disguise, since each block's size grows with
+    * the corpus. Sign buckets grow in NUMBER as dimensionality/bit count
+    * allows, and the cap bounds any degenerate bucket, so candidate count is
+    * ≤ maxNeighbors · N by construction. Near-identical vectors share the
+    * full sign pattern, so true near-dups land in the same bucket.
     */
-  def cosinePairsTop(emb: DataFrame, idCol: String, vecCol: String, blockCol: String, k: Int = 20): DataFrame = {
-    val e = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"), col(blockCol).as("blk"))
-    e.as("x").join(e.as("y"),
-        col("x.blk") === col("y.blk") && col("x.vec_id") < col("y.vec_id"))
+  def cosinePairsTop(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 20,
+      bits: Int = 6,
+      maxNeighbors: Int = 32): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val ranked = e.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+    ranked.as("x").join(ranked.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + maxNeighbors)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(cosine(col("x.v"), col("y.v")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("a").asc, col("b").asc)
