@@ -83,6 +83,8 @@ object SparkEntry {
     "seg_phrase" -> ((s, d) => Engine.topkSeg(s, d, "\"merge batch\"")),
     "seg_field" -> ((s, d) => Engine.topkSeg(s, d, "lang:es AND dup")),
     "seg_prefix" -> ((s, d) => Engine.topkSeg(s, d, "sp*")),
+    "seg_wildcard" -> ((s, d) => Engine.topkSeg(s, d, "s?ow")),
+    "seg_fuzzy" -> ((s, d) => Engine.topkSeg(s, d, "dup~1")),
     // §2.5 building blocks, driver-checked
     "op_docid_rank" -> ((s, d) => {
       import graft.index.DocIds
@@ -213,6 +215,8 @@ object SparkEntry {
     "seg_phrase" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")))),
     "seg_field" -> topk(musts = Seq(OStringTerm("lang", "es"), OTerm("dup"))),
     "seg_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),
+    "seg_wildcard" -> topk(shoulds = Seq(OTermPred("regexp_full_match(term, 's.ow')"))),
+    "seg_fuzzy" -> topk(shoulds = Seq(OTermPred("levenshtein(term, 'dup') <= 1"))),
     "op_docid_rank" -> OpsOracle.docidRank,
     "op_tokenize" -> OpsOracle.tokenizeSample,
     "op_tokenize_expr" -> OpsOracle.tokenizeSample,

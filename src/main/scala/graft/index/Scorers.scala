@@ -276,9 +276,12 @@ object Scorers {
   /** Block-max WAND over a pure disjunction of term scorers: skip any doc
     * whose summed term upper bounds cannot beat the current kth score; on a
     * pivot, re-check with the (tighter) current-block bounds before scoring
-    * (Ding & Suel 2011).
+    * (Ding & Suel 2011). `excluded` docs (tombstones) are dropped at
+    * heap-offer time — the threshold only ever reflects kept docs, so it
+    * stays a valid lower bound and every skip remains sound.
     */
-  def wandTopK(terms: IndexedSeq[TermScorer], k: Int): Seq[(Long, Double)] = {
+  def wandTopK(terms: IndexedSeq[TermScorer], k: Int,
+      excluded: Long => Boolean = _ => false): Seq[(Long, Double)] = {
     val heap = new TopKHeap(k)
     // canonical clause order for the float sum: scores are accumulated in
     // the caller's term order regardless of cursor order, so results are
@@ -309,10 +312,12 @@ object Scorers {
         var blockBound = 0.0
         matching.foreach(t => blockBound += t.blockMaxScore)
         if (blockBound > threshold) {
-          val ordered = matching.sortBy(clauseOrd)
-          var s = 0.0
-          ordered.foreach(t => s += t.score)
-          heap.offer(pivotDoc, s)
+          if (!excluded(pivotDoc)) {
+            val ordered = matching.sortBy(clauseOrd)
+            var s = 0.0
+            ordered.foreach(t => s += t.score)
+            heap.offer(pivotDoc, s)
+          }
           matching.foreach(_.next())
         } else {
           // These blocks can't beat the threshold anywhere: jump past the

@@ -30,7 +30,7 @@ case object SEmpty extends SQ
 final class SegmentSearcher(
     si: SegmentIndex,
     opts: SearchOptions = SearchOptions(limit = 10),
-    deleted: Set[Long] = Set.empty) {
+    tombstones: Option[DataFrame] = None) {
 
   private val spark = si.segments.sparkSession
 
@@ -68,11 +68,12 @@ final class SegmentSearcher(
     terms.distinct.flatMap(k => si.statsCache(k).map(k -> _)).toMap
   }
 
-  private def expand(f: String, pred: String => Boolean): Seq[String] = {
-    import spark.implicits._
-    si.termStats.filter(col("field") === f).select(col("term")).as[String]
-      .collect().filter(pred).toSeq
-  }
+  /** Multi-term expansion: predicate pushed into the termStats scan, capped
+    * at MaxClauseCount — never collects the dictionary to the driver (the
+    * round-1 version did, a driver-OOM hazard at scale).
+    */
+  private def expand(q: Query, f: String): Seq[String] =
+    TermExpansion.expand(si.termStats.toDF(), f, TermExpansion.predFor(q))
 
   /** Resolve the bound AST to the shipped plan. */
   def plan(q: Query): SQ = {
@@ -99,15 +100,10 @@ final class SegmentSearcher(
       case BoostQ(inner, b) =>
         val i = go(inner)
         if (i == SEmpty) SEmpty else SBoost(i, b)
-      case PrefixQ(f, p) => constOf(f, expand(f, _.startsWith(p)))
-      case WildcardQ(f, pat) =>
-        val re = QueryBind.wildcardRegex(pat).r
-        constOf(f, expand(f, t => re.findFirstIn(t).isDefined))
-      case FuzzyQ(f, t, e) =>
-        constOf(f, expand(f, cand => Levenshtein(cand, t) <= e))
-      case TermRangeQ(f, lo, hi, incLo, incHi) =>
-        constOf(f, expand(f, t =>
-          lo.forall(v => if (incLo) t >= v else t > v) && hi.forall(v => if (incHi) t <= v else t < v)))
+      case mq @ PrefixQ(f, _) => constOf(f, expand(mq, f))
+      case mq @ WildcardQ(f, _) => constOf(f, expand(mq, f))
+      case mq @ FuzzyQ(f, _, _) => constOf(f, expand(mq, f))
+      case mq @ TermRangeQ(f, _, _, _, _) => constOf(f, expand(mq, f))
       case MatchAllQ | _: NumRangeQ | _: NumTermQ =>
         throw new UnsupportedOperationException(
           "doc-value predicates run on the DataFrame path (Searcher); segment path serves postings queries")
@@ -128,16 +124,30 @@ final class SegmentSearcher(
     if (sq == SEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
     val leaves = SegmentSearcher.leafTerms(sq)
     val cond = leaves.map { case (f, t) => (col("field") === f) && (col("term") === t) }.reduce(_ || _)
-    val bcDeleted = spark.sparkContext.broadcast(deleted)
-    val perShard = si.segments
-      .filter(cond)
-      .groupByKey(_.shard)
-      .flatMapGroups { (_, rows) =>
-        val byTerm = rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
-          key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
-        }
-        SegmentSearcher.shardTopK(sq, byTerm, k, bcDeleted.value).iterator
+    def byTermOf(rows: Iterator[SegmentRow]): Map[(String, String), IndexedSeq[Codec.Block]] =
+      rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
+        key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
       }
+    val grouped = si.segments.filter(cond).groupByKey(_.shard)
+    val perShard = tombstones match {
+      case None =>
+        grouped.flatMapGroups { (_, rows) =>
+          SegmentSearcher.shardTopK(sq, byTermOf(rows), k).iterator
+        }
+      case Some(df) =>
+        // tombstones ride the same shard grouping as the posting rows — a
+        // co-group, not a driver Set broadcast: each shard sees only ITS
+        // deleted ids, so delete volume scales with the cluster, and WAND
+        // pruning stays active (exclusion happens at heap-offer time, which
+        // keeps the threshold a valid lower bound of the kth kept score)
+        val dps = si.docsPerShard
+        val tombs = df.select(col("docId").cast("long")).as[Long]
+          .groupByKey(id => (id / dps).toInt)
+        grouped.cogroup(tombs) { (_, rows, dels) =>
+          val del = dels.toSet
+          SegmentSearcher.shardTopK(sq, byTermOf(rows), k, del.contains).iterator
+        }
+    }
     perShard.toDF("docId", "score")
       .orderBy(col("score").desc, col("docId").asc)
       .limit(k)
@@ -146,16 +156,6 @@ final class SegmentSearcher(
   def topK(q: String): Seq[(Long, Double)] =
     search(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       .drop(opts.skip)
-
-  private object Levenshtein {
-    def apply(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
-          dp(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
-      dp(a.length)(b.length)
-    }
-  }
 }
 
 object SegmentSearcher {
@@ -188,25 +188,25 @@ object SegmentSearcher {
   }
 
   /** Per-shard top-k: block-max WAND for a pure term disjunction, exhaustive
-    * doc-at-a-time otherwise. Tombstoned docs force the exhaustive path
-    * (WAND's threshold pruning is unsound if heap entries can be vetoed).
+    * doc-at-a-time otherwise. Tombstoned (`excluded`) docs simply never
+    * enter the heap — WAND's threshold remains a valid lower bound of the
+    * kth KEPT score, so all pruning stays sound under deletes (round-1
+    * forced the exhaustive path whenever any tombstone existed).
     */
   def shardTopK(
       sq: SQ,
       byTerm: Map[(String, String), IndexedSeq[Block]],
       k: Int,
-      deleted: Set[Long] = Set.empty): Seq[(Long, Double)] =
+      excluded: Long => Boolean = _ => false): Seq[(Long, Double)] =
     sq match {
-      case _ if deleted.nonEmpty =>
-        exhaustiveTopK(buildScorer(sq, byTerm), k, deleted.contains)
       case STerm(f, t, w, avgdl) =>
         wandTopK(IndexedSeq(
-          new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)), k)
+          new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)), k, excluded)
       case SBool(m, shoulds, n) if m.isEmpty && n.isEmpty && shoulds.forall(_.isInstanceOf[STerm]) =>
         wandTopK(shoulds.map { case STerm(f, t, w, avgdl) =>
           new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)
-        }.toIndexedSeq, k)
+        }.toIndexedSeq, k, excluded)
       case other =>
-        exhaustiveTopK(buildScorer(other, byTerm), k)
+        exhaustiveTopK(buildScorer(other, byTerm), k, excluded)
     }
 }

@@ -52,6 +52,23 @@ object SegmentStore {
 
   private def ckptPath(dir: String, stage: String) = Paths.get(s"$dir/checkpoints/$stage.json")
 
+  // ---- shard spec (docsPerShard) ---------------------------------------
+  // Persisted so readers can route a docId to its shard without scanning
+  // segment metadata — tombstone rows are co-grouped with their shard's
+  // posting rows at query time (no driver-side Set broadcast).
+
+  private def shardSpecPath(dir: String) = Paths.get(s"$dir/checkpoints/shardspec.json")
+
+  def writeShardSpec(dir: String, docsPerShard: Long): Unit = {
+    Files.createDirectories(shardSpecPath(dir).getParent)
+    Files.writeString(shardSpecPath(dir), s"""{"docsPerShard": $docsPerShard}""")
+  }
+
+  def docsPerShardOf(dir: String): Long =
+    if (!Files.exists(shardSpecPath(dir))) 1L << 20
+    else """"docsPerShard":\s*(\d+)""".r.findFirstMatchIn(Files.readString(shardSpecPath(dir)))
+      .map(_.group(1).toLong).getOrElse(1L << 20)
+
   def stageDone(dir: String, stage: String): Boolean = Files.exists(ckptPath(dir, stage))
 
   private def commitStage(dir: String, stage: String, metrics: Map[String, Long]): Unit = {
@@ -78,6 +95,7 @@ object SegmentStore {
       if (failAfterStage.contains(stage)) throw new RuntimeException(s"failpoint after $stage")
 
     if (!stageDone(dir, "spec")) writeSpec(spark, dir, fields)
+    if (!Files.exists(shardSpecPath(dir))) writeShardSpec(dir, docsPerShard)
     failpoint("spec")
 
     // Tokenize ONCE: both remaining stages aggregate the same cached
@@ -215,7 +233,7 @@ object SegmentStore {
         (sum($"docCount" * $"avgdl") / sum($"docCount")).as("avgdl"))
       .as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap
-    new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields)
+    new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields, base.docsPerShard)
   }
 
   /** `_optimize` analog (reference DatabaseIndexer.java:274-279,
@@ -225,16 +243,21 @@ object SegmentStore {
     */
   def optimize(spark: SparkSession, dir: String, outDir: String, docsPerShard: Long = 1L << 14): Unit = {
     import spark.implicits._
-    val tombstones: Set[Long] = deletedDocs(spark, dir)
-    val bcDeleted = spark.sparkContext.broadcast(tombstones)
-    val postings: Dataset[Posting] = spark.read.parquet(s"$dir/segments").as[SegmentRow]
+    // tombstones dropped via anti-join (never a driver-side Set — at scale
+    // deletes are normal state, potentially corpus-sized)
+    val decoded: Dataset[Posting] = spark.read.parquet(s"$dir/segments").as[SegmentRow]
       .flatMap { row =>
         row.blocks.iterator.flatMap(Codec.decode(_).iterator)
-          .filterNot(d => bcDeleted.value.contains(d.docId))
           .map(d => Posting(row.field, row.term, d.docId, d.tf, d.positions, d.dl))
-      }.persist()
+      }
+    // re-select in Posting declaration order: the using-join moves docId to
+    // the front, and encodeSegments binds a positional tuple encoder
+    val postings = decoded.join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
+      .select("field", "term", "docId", "tf", "positions", "dl")
+      .as[Posting].persist()
     // spec carries over; stats recomputed post-expunge
     java.nio.file.Files.createDirectories(Paths.get(outDir))
+    writeShardSpec(outDir, docsPerShard)
     spark.read.parquet(s"$dir/spec").coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
     commitStage(outDir, "spec", Map.empty)
     IndexBuilder.termStats(postings).write.mode(SaveMode.Overwrite).parquet(s"$outDir/termstats")
@@ -258,10 +281,20 @@ object SegmentStore {
     docIds.toDS().toDF("docId").write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
   }
 
+  /** Tombstoned docIds as a (distinct) DataFrame — the scale-safe shape:
+    * the query path co-groups these with segment rows per shard, and
+    * [[optimize]] anti-joins them; nothing is collected to the driver.
+    */
+  def deletedDocsDF(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (!Files.exists(Paths.get(s"$dir/tombstones"))) spark.emptyDataset[Long].toDF("docId")
+    else spark.read.parquet(s"$dir/tombstones").distinct()
+  }
+
+  /** Driver-side tombstone set — bounded uses only (tests, info counts). */
   def deletedDocs(spark: SparkSession, dir: String): Set[Long] = {
     import spark.implicits._
-    if (!Files.exists(Paths.get(s"$dir/tombstones"))) Set.empty
-    else spark.read.parquet(s"$dir/tombstones").as[Long].collect().toSet
+    deletedDocsDF(spark, dir).as[Long].collect().toSet
   }
 
   /** Index info — the reference's `GET .../{view}` stats endpoint analog
@@ -278,7 +311,7 @@ object SegmentStore {
       "segment_rows" -> m.getLong(0),
       "disk_bytes" -> m.getLong(1),
       "shards" -> m.getLong(2),
-      "deleted_count" -> deletedDocs(spark, dir).size)
+      "deleted_count" -> deletedDocsDF(spark, dir).count())
   }
 
   def analyzerName(a: graft.analysis.Analyzer): String = a match {
@@ -304,7 +337,7 @@ object SegmentStore {
     new SegmentIndex(
       spark.read.parquet(s"$dir/segments").as[SegmentRow],
       spark.read.parquet(s"$dir/termstats").as[TermStats],
-      fieldStats, fields)
+      fieldStats, fields, docsPerShardOf(dir))
   }
 }
 
@@ -312,7 +345,8 @@ final class SegmentIndex(
     val segments: Dataset[SegmentRow],
     val termStats: Dataset[TermStats],
     val fieldStats: Map[String, FieldStats],
-    val fields: Seq[FieldDef]) {
+    val fields: Seq[FieldDef],
+    val docsPerShard: Long = 1L << 20) {
 
   /** Driver-side term-stats memo (see TextIndex.statsCache). */
   @transient lazy val statsCache: scala.collection.concurrent.TrieMap[(String, String), Option[TermStats]] =

@@ -35,6 +35,18 @@ case object MatchAllQ extends Query
   */
 case object EmptyQ extends Query
 
+/** Lucene `BooleanQuery.maxClauseCount` analog (default 1024): multi-term
+  * expansions (prefix/wildcard/fuzzy/term-range) are capped on BOTH
+  * executors. The reference surfaces Lucene's TooManyClauses as a client
+  * error rather than attempting an unbounded rewrite; more importantly at
+  * our scale, the cap bounds the driver-side expansion collect.
+  */
+object QueryLimits {
+  val MaxClauseCount: Int = 1024
+  final class TooManyClauses(field: String, cap: Int) extends RuntimeException(
+    s"multi-term query on field '$field' expands to more than $cap terms (maxClauseCount)")
+}
+
 /** Sort key per the reference's `?sort=` syntax: `/field<type>` asc,
   * `\field` desc, specials `_score`, `_doc`
   * (CustomQueryParser.java:41-68).

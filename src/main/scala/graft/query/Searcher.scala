@@ -281,20 +281,13 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     case BoostQ(inner, boost) =>
       execWith(inner, stats).withColumn("score", col("score") * lit(boost))
 
-    case PrefixQ(f, p) =>
-      constantScore(f, col("term").startsWith(p))
+    case mq @ PrefixQ(f, _) => constantScore(f, TermExpansion.predFor(mq))
 
-    case WildcardQ(f, pat) =>
-      constantScore(f, col("term").rlike(QueryBind.wildcardRegex(pat)))
+    case mq @ WildcardQ(f, _) => constantScore(f, TermExpansion.predFor(mq))
 
-    case FuzzyQ(f, t, maxEdits) =>
-      constantScore(f, levenshtein(col("term"), lit(t)) <= maxEdits)
+    case mq @ FuzzyQ(f, _, _) => constantScore(f, TermExpansion.predFor(mq))
 
-    case TermRangeQ(f, lo, hi, incLo, incHi) =>
-      val conds = Seq(
-        lo.map(v => if (incLo) col("term") >= v else col("term") > v),
-        hi.map(v => if (incHi) col("term") <= v else col("term") < v)).flatten
-      constantScore(f, conds.reduceOption(_ && _).getOrElse(lit(true)))
+    case mq @ TermRangeQ(f, _, _, _, _) => constantScore(f, TermExpansion.predFor(mq))
 
     case NumRangeQ(f, tpe, lo, hi, incLo, incHi) =>
       val c = numCol(f, tpe)
@@ -318,14 +311,13 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     else col(f).cast("double")
 
   /** Multi-term queries: term-dictionary scan → OR of postings at constant
-    * score 1.0 (Lucene CONSTANT_SCORE rewrite). The expansion is collected
-    * on the driver (bounded like Lucene's maxClauseCount) and pushed back as
-    * an isin filter so the postings scan stays a single pruned pass.
+    * score 1.0 (Lucene CONSTANT_SCORE rewrite). The expansion predicate is
+    * pushed into the distributed termStats scan and capped at
+    * MaxClauseCount (TermExpansion), then pushed back as an isin filter so
+    * the postings scan stays a single pruned pass.
     */
   private def constantScore(f: String, termPred: Column): DataFrame = {
-    val expanded = index.termStats
-      .filter(col("field") === f && termPred)
-      .select(col("term")).collect().map(_.getString(0))
+    val expanded = TermExpansion.expand(index.termStats.toDF(), f, termPred)
     if (expanded.isEmpty) emptyHits
     else index.postings
       .filter(col("field") === f && col("term").isin(expanded.toIndexedSeq: _*))

@@ -26,8 +26,9 @@ class StreamingSpec extends SparkSpec {
   private val queries = Seq("hello", "paxos", "hello world", "hello AND world",
     "\"paxos made simple\"", "role:assistant AND consensus")
 
-  private def topK(idx: SegmentIndex, q: String, deleted: Set[Long] = Set.empty): Seq[(Long, Double)] =
-    new SegmentSearcher(idx, SearchOptions(limit = 10), deleted).topK(q)
+  private def topK(idx: SegmentIndex, q: String,
+      tombstones: Option[org.apache.spark.sql.DataFrame] = None): Seq[(Long, Double)] =
+    new SegmentSearcher(idx, SearchOptions(limit = 10), tombstones).topK(q)
 
   private lazy val batchIndex: SegmentIndex = {
     val dir = Files.createTempDirectory("graft-batch-all").toString
@@ -77,11 +78,13 @@ class StreamingSpec extends SparkSpec {
     SegmentStore.build(all, "docId", fields, dir, docsPerShard = 257)
     val victims = topK(SegmentStore.open(spark, dir), "hello").take(3).map(_._1)
     SegmentStore.deleteDocs(spark, dir, victims)
-    val deleted = SegmentStore.deletedDocs(spark, dir)
-    assert(deleted === victims.toSet)
+    assert(SegmentStore.deletedDocs(spark, dir) === victims.toSet)
     val idx = SegmentStore.open(spark, dir).cached()
-    val got = topK(idx, "hello", deleted)
+    val got = topK(idx, "hello", Some(SegmentStore.deletedDocsDF(spark, dir)))
     assert(got.map(_._1).intersect(victims).isEmpty)
+    // WAND path under deletes (pure disjunction): ≡ rebuilt-without-victims
+    val gotOr = topK(idx, "hello world", Some(SegmentStore.deletedDocsDF(spark, dir)))
+    assert(gotOr.map(_._1).intersect(victims).isEmpty)
 
     // optimize: physical removal + stats recomputed == fresh build minus victims
     val optDir = Files.createTempDirectory("graft-opt").toString
@@ -98,6 +101,6 @@ class StreamingSpec extends SparkSpec {
     }
     val info = SegmentStore.info(spark, optDir)
     assert(info("doc_count").asInstanceOf[Long] > 0)
-    assert(info("deleted_count") === 0)
+    assert(info("deleted_count") === 0L)
   }
 }

@@ -58,6 +58,18 @@ class WandSpec extends AnyFunSuite with GenSamples {
     }
   }
 
+  test("WAND with exclusions ≡ exhaustive with exclusions (tombstones keep pruning sound)") {
+    forAll(corpusGen, Gen.oneOf(1, 3, 10)) { (corpus, k) =>
+      // tombstone every 3rd docId — exclusion at heap-offer time must yield
+      // exactly the brute-force ranking over the kept docs
+      val excluded: Long => Boolean = _ % 3 == 0
+      val wand = wandTopK(scorers(corpus), k, excluded)
+      val want = bruteForce(corpus, Int.MaxValue).filterNot(p => excluded(p._1)).take(k)
+      assert(wand.map(_._1) === want.map(_._1))
+      wand.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("exhaustive BoolScorer disjunction agrees too") {
     forAll(corpusGen) { corpus =>
       val root = new BoolScorer(IndexedSeq.empty, scorers(corpus), IndexedSeq.empty)
