@@ -35,6 +35,7 @@ object Engine {
   def clearCaches(): Unit = {
     cache.clear()
     segCache.clear()
+    evCache.clear()
   }
 
   def documentsIndex(spark: SparkSession, sfDir: String): TextIndex =
@@ -51,6 +52,31 @@ object Engine {
       k: Int = 10, skip: Int = 0, defaultAnd: Boolean = false): DataFrame = {
     val s = new Searcher(documentsIndex(spark, sfDir),
       SearchOptions(limit = k, skip = skip, defaultOperatorAnd = defaultAnd))
+    s.search(q).select(
+      col("docId").as("doc_id"),
+      round(col("score"), 4).as("score_r"),
+      col("rank").cast("long").as("rank"))
+  }
+
+  /** events.parquet index: event_type → STRING term field, plus a derived
+    * `day` doc-value (date_trunc of ts) for typed date point/range queries —
+    * the reference's `field<date>:` path (CustomQueryParser.java:113-128,
+    * FieldType date patterns).
+    */
+  val EventFields: Seq[FieldDef] = Seq(FieldDef("etype", "event_type", StringField))
+
+  private val evCache = scala.collection.concurrent.TrieMap[String, TextIndex]()
+
+  def eventsIndex(spark: SparkSession, sfDir: String): TextIndex =
+    evCache.getOrElseUpdate(sfDir, {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("day", date_trunc("day", col("ts")))
+      IndexBuilder.build(ev, "event_id", EventFields).cached()
+    })
+
+  /** Top-k over the events index, same oracle-comparable shape as [[topk]]. */
+  def topkEvents(spark: SparkSession, sfDir: String, q: String, k: Int = 10): DataFrame = {
+    val s = new Searcher(eventsIndex(spark, sfDir), SearchOptions(limit = k))
     s.search(q).select(
       col("docId").as("doc_id"),
       round(col("score"), 4).as("score_r"),

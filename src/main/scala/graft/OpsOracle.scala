@@ -209,19 +209,27 @@ object OpsOracle {
        |),
        |g AS (SELECT doc_id, count(*)::DOUBLE AS n,
        |             sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE AS stops
-       |      FROM tok GROUP BY doc_id)
-       |SELECT doc_id, round(stops / greatest(n, 1.0), 6) AS en_ratio,
-       |       CASE WHEN round(stops / greatest(n, 1.0), 6) > 0.05 THEN 'en' ELSE 'und' END AS lang_guess
-       |FROM g""".stripMargin
+       |      FROM tok GROUP BY doc_id),
+       |j AS (SELECT d.doc_id AS doc_id, coalesce(g.n, 0.0) AS n, coalesce(g.stops, 0.0) AS stops
+       |      FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id),
+       |r AS (SELECT doc_id,
+       |             floor(stops / greatest(n, 1.0) * 1000000.0 + 0.5) / 1000000.0 AS en_ratio
+       |      FROM j)
+       |SELECT doc_id, en_ratio,
+       |       CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'und' END AS lang_guess
+       |FROM r""".stripMargin
 
   val quality: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
        |),
-       |g AS (SELECT doc_id, count(*)::DOUBLE AS n, sum(length(term))::DOUBLE AS slen,
+       |t AS (SELECT doc_id, count(*)::DOUBLE AS n, sum(length(term))::DOUBLE AS slen,
        |             sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE AS stops,
        |             count(DISTINCT term)::DOUBLE AS uniq
-       |      FROM tok GROUP BY doc_id)
+       |      FROM tok GROUP BY doc_id),
+       |g AS (SELECT d.doc_id AS doc_id, coalesce(t.n, 0.0) AS n, coalesce(t.slen, 0.0) AS slen,
+       |             coalesce(t.stops, 0.0) AS stops, coalesce(t.uniq, 0.0) AS uniq
+       |      FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id)
        |SELECT doc_id, n::BIGINT AS n_tokens,
        |       floor(slen / greatest(n, 1.0) * 10000.0 + 0.5) / 10000.0 AS mean_token_len,
        |       floor(stops / greatest(n, 1.0) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
@@ -314,5 +322,6 @@ object OpsOracle {
        |),
        |ftok AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id)
-       |SELECT count(*)::BIGINT AS doc_count, round(avg(dl), 4) AS avgdl FROM dl""".stripMargin
+       |SELECT count(*)::BIGINT AS doc_count,
+       |       floor(avg(dl) * 10000.0 + 0.5) / 10000.0 AS avgdl FROM dl""".stripMargin
 }

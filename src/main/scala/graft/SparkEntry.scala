@@ -40,6 +40,9 @@ object SparkEntry {
     "ft_wildcard" -> ((s, d) => Engine.topk(s, d, "s?ow")),
     "ft_fuzzy" -> ((s, d) => Engine.topk(s, d, "dup~1")),
     "ft_range_num" -> ((s, d) => Engine.topk(s, d, "n_chars<long>:[100 TO 200] AND dup")),
+    // typed POINT queries (reference CustomQueryParser.java:120-128)
+    "ft_point_num" -> ((s, d) => Engine.topk(s, d, "n_chars<long>:132 AND dup")),
+    "ft_point_date" -> ((s, d) => Engine.topkEvents(s, d, "day<date>:2024-01-10")),
     "ft_range_str" -> ((s, d) => Engine.topk(s, d, "source:[src1 TO src3] AND dup")),
     "ft_boost" -> ((s, d) => Engine.topk(s, d, "dup^3 OR spark")),
     // §2.7 pagination / sort / projections / totals
@@ -109,7 +112,10 @@ object SparkEntry {
     "op_index_stats" -> ((s, d) => {
       import s.implicits._
       val fs = Engine.documentsIndex(s, d).fieldStats("default")
-      Seq((fs.docCount, BigDecimal(fs.avgdl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      // arithmetic floor(x*1e4+0.5)/1e4 rounding — same pure double pipeline
+      // as the oracle (avgdl is a rational that can land on the grid, where
+      // decimal-string HALF_UP and binary rounding diverge)
+      Seq((fs.docCount, math.floor(fs.avgdl * 10000.0 + 0.5) / 10000.0))
         .toDF("doc_count", "avgdl")
     }),
     // training-data pipeline: deduplication
@@ -199,6 +205,12 @@ object SparkEntry {
     "ft_wildcard" -> topk(shoulds = Seq(OTermPred("regexp_full_match(term, 's.ow')"))),
     "ft_fuzzy" -> topk(shoulds = Seq(OTermPred("levenshtein(term, 'dup') <= 1"))),
     "ft_range_num" -> topk(musts = Seq(ODocPred("n_chars >= 100 AND n_chars <= 200"), OTerm("dup"))),
+    "ft_point_num" -> topk(musts = Seq(ODocPred("n_chars = 132"), OTerm("dup"))),
+    "ft_point_date" ->
+      """SELECT event_id AS doc_id, round(1.0::DOUBLE, 4) AS score_r, rank FROM (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id ASC) AS rank
+        |  FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-10 00:00:00'
+        |) WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "ft_range_str" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
     "ft_boost" -> topk(shoulds = Seq(OBoost(OTerm("dup"), 3.0), OTerm("spark"))),
     "ft_paginate" -> topk(shoulds = Seq(OTerm("spark")), k = 5, skip = 5),

@@ -43,7 +43,12 @@ object DocIds {
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
 
-    val rdd = sorted.rdd.persist()
+    // No .persist(): both jobs run from the same RDD object, so the range
+    // shuffle's map output is written once and reused — only the in-partition
+    // sort re-runs for the second job. A persist here leaked executor memory
+    // when called per micro-batch from IncrementalIndexer (never unpersisted;
+    // the returned DataFrame's lifetime is unknowable at this layer).
+    val rdd = sorted.rdd
     val counts: Array[(Int, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var n = 0L

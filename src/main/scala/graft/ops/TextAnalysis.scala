@@ -24,7 +24,9 @@ object TextAnalysis {
   def langId(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.05): DataFrame = {
     val toks = rawTokens(col(textCol))
     val hits = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
-    val ratio = round(hits / greatest(size(toks), lit(1)).cast("double"), 6)
+    // arithmetic floor rounding (not round()): the ratio is an exact
+    // rational that can land on the grid — same hardening as quality()
+    val ratio = floor(hits / greatest(size(toks), lit(1)).cast("double") * 1000000.0 + 0.5) / 1000000.0
     docs.select(col(idCol).cast("long").as("doc_id"), ratio.as("en_ratio"),
       when(ratio > threshold, lit("en")).otherwise(lit("und")).as("lang_guess"))
   }

@@ -43,9 +43,19 @@ object IncrementalIndexer {
     Files.writeString(metaPath(dir), s"""{"nextDocId": ${m.nextDocId}, "lastBatch": ${m.lastBatch}}""")
   }
 
-  /** Append one batch of new documents to the index. Returns docIds
-    * assigned. Idempotent per batchId: a replay of an already-committed
-    * batch is a no-op.
+  /** Append one batch of new documents to the index. Idempotent per
+    * batchId: a replay of an already-committed batch is a no-op.
+    *
+    * Commit protocol (exactly-once under crash/replay): the batch's three
+    * outputs are written to a STAGING generation dir, then promoted into
+    * the live dirs under deterministic per-generation file names, and only
+    * then is meta (the `last_seq` analog) advanced. A crash anywhere before
+    * writeMeta leaves lastBatch stale, so the replay re-runs the whole
+    * batch: staging is overwritten, any partially-promoted `genN-*` files
+    * are deleted first, and promotion repeats — the live dirs end up with
+    * exactly one copy of the generation, never a duplicate (a duplicated
+    * generation would double df/cf and break openMerged's
+    * one-generation-per-doc assumption).
     */
   def appendBatch(
       batch: DataFrame,
@@ -64,21 +74,58 @@ object IncrementalIndexer {
       .withColumn("docId", col("docId") + lit(meta.nextDocId))
     val n = withIds.count()
     if (n > 0) {
+      val staging = s"$dir/staging/gen-$batchId"
       val postings = IndexBuilder.tokenizePostings(withIds, "docId", fields).persist()
       IndexBuilder.termStats(postings)
-        .write.mode(SaveMode.Append).parquet(s"$dir/termstats")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
       IndexBuilder.fieldStatsFromPostings(postings)
-        .write.mode(SaveMode.Append).parquet(s"$dir/fieldstats")
-      val avgdls = spark.read.parquet(s"$dir/fieldstats")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/fieldstats")
+      // merged avgdl = committed generations + this staged one
+      val liveFs = Paths.get(s"$dir/fieldstats")
+      val fsUnion =
+        if (Files.exists(liveFs))
+          spark.read.parquet(s"$dir/fieldstats").unionByName(spark.read.parquet(s"$staging/fieldstats"))
+        else spark.read.parquet(s"$staging/fieldstats")
+      val avgdls = fsUnion
         .groupBy($"field")
         .agg((sum($"docCount" * $"avgdl") / sum($"docCount")).as("avgdl"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       SegmentStore.encodeSegments(postings, avgdls, docsPerShard)
-        .write.mode(SaveMode.Append).parquet(s"$dir/segments")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
       postings.unpersist(blocking = false)
+      // promote: idempotent move under stable names, then delete staging
+      Seq("termstats", "fieldstats", "segments").foreach { sub =>
+        promoteGeneration(s"$staging/$sub", s"$dir/$sub", s"gen$batchId")
+      }
+      deleteRecursively(Paths.get(staging))
     }
     writeMeta(dir, Meta(meta.nextDocId + n, batchId))
   }
+
+  /** Move a staged generation's parquet part files into the live dir under
+    * deterministic names (`<gen>-00000.parquet`, …). Any live files of the
+    * same generation (a previous partially-promoted attempt) are removed
+    * first, so promotion is idempotent under replay.
+    */
+  private def promoteGeneration(stagedDir: String, liveDir: String, gen: String): Unit = {
+    val live = Paths.get(liveDir)
+    Files.createDirectories(live)
+    Files.list(live).forEach { p =>
+      if (p.getFileName.toString.startsWith(s"$gen-")) Files.delete(p)
+    }
+    val parts = Files.list(Paths.get(stagedDir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, live.resolve(f"$gen-$i%05d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+    }
 
   /** Run a streaming query that maintains the index over a parquet-directory
     * stream of new transcript files. `foreachBatch` is the commit point —

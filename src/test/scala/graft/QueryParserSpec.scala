@@ -63,6 +63,10 @@ class QueryParserSpec extends AnyFunSuite {
     val q = p("ts<date>:[2026-01-01 TO 2026-02-01]").asInstanceOf[NumRangeQ]
     assert(q.lo === Some(1767225600000.0))
     assert(QueryParser.parseDateMillis("2026-01-01T00:00:00") === 1767225600000L)
+    // 6th pattern: zoned date-only yyyy-MM-ddZ — midnight at the offset
+    assert(QueryParser.parseDateMillis("2026-01-01+0000") === 1767225600000L)
+    assert(QueryParser.parseDateMillis("2026-01-01+0100") === 1767225600000L - 3600000L)
+    assert(QueryParser.parseDateMillis("2026-01-01-0500") === 1767225600000L + 5 * 3600000L)
   }
 
   test("untyped range is a lexicographic term range (FieldType.java:173-177)") {

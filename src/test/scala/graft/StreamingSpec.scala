@@ -55,6 +55,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("crash between promotion and meta write: replay does not duplicate the generation") {
+    val dir = Files.createTempDirectory("graft-inc-crash").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 60), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val metaPath = java.nio.file.Paths.get(s"$dir/checkpoints/incremental.json")
+    val metaAfter0 = Files.readString(metaPath)
+    IncrementalIndexer.appendBatch(turnsDF(60, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val metaAfter1 = Files.readString(metaPath)
+    // simulate the crash window: generation 1 fully (or partially) promoted
+    // but the meta write lost — roll meta back and delete one promoted file
+    Files.writeString(metaPath, metaAfter0)
+    val segDir = java.nio.file.Paths.get(s"$dir/segments")
+    val gen1 = Files.list(segDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("gen1-"))
+    assert(gen1.nonEmpty)
+    Files.delete(gen1.head) // partial promotion remnant
+    // foreachBatch replays batch 1 — must reconstruct exactly one copy
+    IncrementalIndexer.appendBatch(turnsDF(60, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    assert(Files.readString(metaPath) === metaAfter1)
+    val inc = SegmentStore.openMerged(spark, dir)
+    queries.foreach { q =>
+      val a = topK(inc, q)
+      val b = topK(batchIndex, q)
+      assert(a.map(_._1) === b.map(_._1), s"docIds differ after crash replay for q=$q")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) <= 1e-9) }
+    }
+  }
+
   test("Structured Streaming foreachBatch maintains the index over arriving files") {
     val src = Files.createTempDirectory("graft-src").toString
     val dir = Files.createTempDirectory("graft-inc-stream").toString
