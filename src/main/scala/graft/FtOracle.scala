@@ -71,24 +71,40 @@ object FtOracle {
          |FROM documents WHERE $column = '$value'""".stripMargin
   }
 
-  /** Exact phrase on the text field: positional self-join, tf = match count,
+  /** Phrase on the text field: positional self-join, tf = match count,
     * idf = sum of the terms' idfs (Lucene PhraseQuery semantics).
+    *
+    * slop > 0 (2-term only): PhraseMatch's anchored window semantics — an
+    * anchor position pa of term 0 matches iff some pb of term 1 has
+    * |pb − pa − 1| ≤ slop (covers re-ordered "b a" at slop ≥ 2), and pf
+    * counts matching anchors (`count(DISTINCT p0.pos)`).
     */
-  final case class OPhrase(terms: Seq[String]) extends OClause {
+  final case class OPhrase(terms: Seq[String], slop: Int = 0) extends OClause {
     def sql: String = {
-      val joins = terms.zipWithIndex.map { case (t, i) =>
-        s"(SELECT doc_id, pos FROM tok WHERE term = '$t') p$i"
-      }
-      val conds = (1 until terms.length)
-        .map(i => s"p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i")
       val sumIdf = terms.map(termIdf).mkString("(", " + ", ")")
+      val body =
+        if (slop <= 0) {
+          val joins = terms.zipWithIndex.map { case (t, i) =>
+            s"(SELECT doc_id, pos FROM tok WHERE term = '$t') p$i"
+          }
+          val conds = (1 until terms.length)
+            .map(i => s"p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i")
+          s"""SELECT p0.doc_id AS doc_id, count(*)::DOUBLE AS pf
+             |  FROM ${joins.mkString(", ")}
+             |  WHERE ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}
+             |  GROUP BY p0.doc_id""".stripMargin
+        } else {
+          require(terms.length == 2, "oracle sloppy phrase supports 2 terms")
+          s"""SELECT p0.doc_id AS doc_id, count(DISTINCT p0.pos)::DOUBLE AS pf
+             |  FROM (SELECT doc_id, pos FROM tok WHERE term = '${terms(0)}') p0
+             |  JOIN (SELECT doc_id, pos FROM tok WHERE term = '${terms(1)}') p1
+             |    ON p1.doc_id = p0.doc_id AND abs(p1.pos - p0.pos - 1) <= $slop
+             |  GROUP BY p0.doc_id""".stripMargin
+        }
       s"""SELECT m.doc_id AS doc_id,
          |  $sumIdf * m.pf * (1.2 + 1.0) / (m.pf + $tfNormDenom) AS s
          |FROM (
-         |  SELECT p0.doc_id AS doc_id, count(*)::DOUBLE AS pf
-         |  FROM ${joins.mkString(", ")}
-         |  WHERE ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}
-         |  GROUP BY p0.doc_id
+         |  $body
          |) m JOIN dl ON m.doc_id = dl.doc_id""".stripMargin
     }
   }

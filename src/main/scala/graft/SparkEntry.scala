@@ -33,6 +33,9 @@ object SparkEntry {
     "ft_not" -> ((s, d) => Engine.topk(s, d, "spark -dup")),
     "ft_phrase" -> ((s, d) => Engine.topk(s, d, "\"merge batch\"")),
     "ft_phrase3" -> ((s, d) => Engine.topk(s, d, "\"join small slow\"")),
+    // sloppy phrases: ordered gap + re-ordered match (Lucene window semantics)
+    "ft_phrase_slop" -> ((s, d) => Engine.topk(s, d, "\"merge batch\"~1")),
+    "ft_phrase_slop_rev" -> ((s, d) => Engine.topk(s, d, "\"batch merge\"~2")),
     "ft_field_string" -> ((s, d) => Engine.topk(s, d, "lang:es AND dup")),
     "ft_field_only" -> ((s, d) => Engine.topk(s, d, "source:src3")),
     // §2.6 multi-term expansions (constant score)
@@ -199,6 +202,8 @@ object SparkEntry {
     "ft_not" -> topk(shoulds = Seq(OTerm("spark")), nots = Seq(OTerm("dup"))),
     "ft_phrase" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")))),
     "ft_phrase3" -> topk(shoulds = Seq(OPhrase(Seq("join", "small", "slow")))),
+    "ft_phrase_slop" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch"), slop = 1))),
+    "ft_phrase_slop_rev" -> topk(shoulds = Seq(OPhrase(Seq("batch", "merge"), slop = 2))),
     "ft_field_string" -> topk(musts = Seq(OStringTerm("lang", "es"), OTerm("dup"))),
     "ft_field_only" -> topk(shoulds = Seq(OStringTerm("source", "src3"))),
     "ft_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),

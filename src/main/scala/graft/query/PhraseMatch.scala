@@ -4,14 +4,19 @@ package graft.query
   * executor, segment scorer, test oracle) — one source of truth so the
   * paths can't drift.
   *
-  * Exact: terms at consecutive positions. Sloppy (slop s > 0): ordered
-  * near-phrase — an occurrence is a strictly-increasing alignment
-  * p_0 < p_1 < … < p_{n-1} whose span exceeds the exact span by at most s
-  * (p_{n-1} - p_0 - (n-1) ≤ s), counted greedily left-to-right.
-  * NOTE: Lucene's SloppyPhraseQuery additionally permits re-ordering at a
-  * slop cost; this engine implements the ordered subset and documents the
-  * divergence (COVERAGE.md) — the reference query workload uses slop 0,
-  * where the two definitions coincide.
+  * Exact (slop 0): terms at consecutive positions.
+  *
+  * Sloppy (slop s > 0): Lucene SloppyPhraseQuery match semantics over
+  * ADJUSTED positions adj_i = p_i − i (each term's position minus its
+  * phrase offset): an occurrence anchored at a position p of term 0 exists
+  * iff one adjusted position per remaining term can be chosen with
+  * max(adj) − min(adj) ≤ slop. This window formulation is what makes
+  * `"a b"~2` match the reversed text "b a" (adj span 2) — the reference
+  * serves quoted queries through Lucene's sloppy scorer with exactly this
+  * match set (CustomQueryParser.java:120-128 quoted path). freq counts
+  * matching anchors with weight 1; Lucene weights each 1/(1+matchLength) —
+  * a scoring-shape divergence documented in COVERAGE.md (the two coincide
+  * at slop 0, the reference workload's only phrase form).
   */
 object PhraseMatch {
 
@@ -37,28 +42,63 @@ object PhraseMatch {
     f
   }
 
+  /** Number of term-0 positions whose minimal containing adjusted-position
+    * window is ≤ slop (re-ordered alignments allowed — reordering shows up
+    * as a negative adjusted offset, paid for by window width).
+    */
   def sloppyFreq(positions: Array[Array[Int]], slop: Int): Int = {
     val n = positions.length
-    val first = positions(0)
+    val adj: Array[Array[Int]] = Array.tabulate(n)(i => positions(i).map(_ - i))
+    val first = adj(0)
     var f = 0
     var i = 0
     while (i < first.length) {
-      val p0 = first(i)
-      // greedy: smallest position of term j strictly after the previous
-      var prev = p0
-      var ok = true
-      var j = 1
-      while (ok && j < n) {
-        val arr = positions(j)
-        var k = java.util.Arrays.binarySearch(arr, prev + 1)
-        if (k < 0) k = -k - 1
-        if (k >= arr.length) ok = false
-        else prev = arr(k)
-        j += 1
-      }
-      if (ok && prev - p0 - (n - 1) <= slop) f += 1
+      if (minSpanAnchored(adj, first(i)) <= slop) f += 1
       i += 1
     }
     f
+  }
+
+  /** Minimum window span over choices of one adjusted position per term,
+    * with term 0 pinned at `p`. Exact: in any optimal window each chosen
+    * value can be moved to its nearest neighbor toward `p` on the same side
+    * without growing the window, so only the nearest-below-or-equal /
+    * nearest-above candidates matter — 2^(n−1) side combinations, n = the
+    * (tiny) phrase length.
+    */
+  private def minSpanAnchored(adj: Array[Array[Int]], p: Int): Int = {
+    val n = adj.length
+    val below = new Array[Long](n)
+    val above = new Array[Long](n)
+    var i = 1
+    while (i < n) {
+      val arr = adj(i)
+      var k = java.util.Arrays.binarySearch(arr, p)
+      if (k >= 0) { below(i) = p.toLong; above(i) = p.toLong }
+      else {
+        k = -k - 1
+        below(i) = if (k > 0) arr(k - 1).toLong else Long.MinValue
+        above(i) = if (k < arr.length) arr(k).toLong else Long.MaxValue
+      }
+      i += 1
+    }
+    var best = Int.MaxValue
+    val combos = 1 << (n - 1)
+    var c = 0
+    while (c < combos) {
+      var lo = p.toLong
+      var hi = p.toLong
+      var ok = true
+      var j = 1
+      while (ok && j < n) {
+        val v = if (((c >> (j - 1)) & 1) == 0) below(j) else above(j)
+        if (v == Long.MinValue || v == Long.MaxValue) ok = false
+        else { if (v < lo) lo = v; if (v > hi) hi = v }
+        j += 1
+      }
+      if (ok && hi - lo < best) best = (hi - lo).toInt
+      c += 1
+    }
+    best
   }
 }

@@ -108,6 +108,40 @@ class QueryParserSpec extends AnyFunSuite {
       SortField("_score", None, true)))
   }
 
+  test("sloppyFreq == brute-force alignment oracle (incl. re-ordered matches)") {
+    import graft.query.PhraseMatch
+    // oracle: full product enumeration over adjusted positions — an anchor
+    // matches iff ANY choice of one adj per term spans ≤ slop
+    def brute(positions: Array[Array[Int]], slop: Int): Int = {
+      val n = positions.length
+      val adj = Array.tabulate(n)(i => positions(i).map(_ - i))
+      def combos(i: Int): Seq[Seq[Int]] =
+        if (i == n) Seq(Seq.empty)
+        else for (v <- adj(i).toSeq; rest <- combos(i + 1)) yield v +: rest
+      adj(0).count { p =>
+        combos(1).exists { rest =>
+          val all = p +: rest
+          all.max - all.min <= slop
+        }
+      }
+    }
+    val rng = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val nTerms = 2 + rng.nextInt(3)
+      val positions = Array.fill(nTerms)(
+        Array.fill(1 + rng.nextInt(8))(rng.nextInt(30)).distinct.sorted)
+      (1 to 6).foreach { s =>
+        assert(PhraseMatch.sloppyFreq(positions, s) === brute(positions, s),
+          s"slop=$s positions=${positions.map(_.mkString("[", ",", "]")).mkString(" ")}")
+      }
+    }
+    // Lucene's documented example: "a b"~2 matches reversed "b a"; ~1 does not
+    assert(PhraseMatch.freq(Array(Array(1), Array(0)), 2) === 1)
+    assert(PhraseMatch.freq(Array(Array(1), Array(0)), 1) === 0)
+    // 3-term reorder: "a c b" for phrase "a b c"
+    assert(PhraseMatch.freq(Array(Array(0), Array(2), Array(1)), 2) === 1)
+  }
+
   test("PhraseMatch properties: slop-monotone, exact==slop0, bounded by min df") {
     import graft.query.PhraseMatch
     val rng = new scala.util.Random(7)

@@ -93,7 +93,10 @@ class RankIdentitySpec extends SparkSpec {
     assert(PhraseMatch.freq(Array(Array(0), Array(2)), 0) === 0)
     assert(PhraseMatch.freq(Array(Array(0), Array(2)), 1) === 1)
     assert(PhraseMatch.freq(Array(Array(0, 10), Array(2, 11)), 1) === 2)
-    assert(PhraseMatch.freq(Array(Array(5), Array(3)), 5) === 0) // ordered only
+    // re-ordered match: "b ... a" with adj span 3 needs slop ≥ 3 (Lucene
+    // window semantics — reversal costs edit distance, not a hard reject)
+    assert(PhraseMatch.freq(Array(Array(5), Array(3)), 2) === 0)
+    assert(PhraseMatch.freq(Array(Array(5), Array(3)), 3) === 1)
   }
 
   test("default_operator=AND changes semantics (reference DatabaseIndexer.java:478-479)") {
