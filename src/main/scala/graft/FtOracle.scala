@@ -46,11 +46,17 @@ object FtOracle {
   /** One boolean clause rendered as `SELECT doc_id, s`. */
   sealed trait OClause { def sql: String }
 
-  /** Analyzed term on the default (text) field. */
-  final case class OTerm(term: String) extends OClause {
+  /** Analyzed term on the default (text) field. `boost` = index-time
+    * per-field boost folded into the weight (FieldDef.boost).
+    */
+  final case class OTerm(term: String, boost: Double = 1.0) extends OClause {
+    private def w: String = {
+      val idf = idfExpr("df.df", "(SELECT n FROM fstat)")
+      if (boost == 1.0) idf else s"($idf * $boost)"
+    }
     def sql: String =
       s"""SELECT tf.doc_id AS doc_id,
-         |  ${idfExpr("df.df", "(SELECT n FROM fstat)")}
+         |  $w
          |    * tf.tf * (1.2 + 1.0)
          |    / (tf.tf + $tfNormDenom) AS s
          |FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
@@ -60,12 +66,14 @@ object FtOracle {
   /** Untokenized STRING field term (lang:, source:) — tf=1, dl=1, avgdl=1;
     * per-field stats over docs where the column is non-null.
     */
-  final case class OStringTerm(column: String, value: String) extends OClause {
+  final case class OStringTerm(column: String, value: String, boost: Double = 1.0) extends OClause {
     private val nF = s"(SELECT count(*)::DOUBLE FROM documents WHERE $column IS NOT NULL)"
     private val dfF = s"(SELECT count(*)::DOUBLE FROM documents WHERE $column = '$value')"
+    private def w: String =
+      if (boost == 1.0) idfExpr(dfF, nF) else s"(${idfExpr(dfF, nF)} * $boost)"
     def sql: String =
       s"""SELECT doc_id,
-         |  ${idfExpr(dfF, nF)}
+         |  $w
          |    * 1.0 * (1.2 + 1.0)
          |    / (1.0 + 1.2 * ((1.0 - 0.75) + (0.75 / 1.0) * 1.0)) AS s
          |FROM documents WHERE $column = '$value'""".stripMargin

@@ -256,6 +256,29 @@ object OpsOracle {
     """SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS content_md5
       |FROM documents""".stripMargin
 
+  /** op_maintenance: build → tombstone doc_id%10==0 → optimize. Counts
+    * reproduce from the raw table; deleted_after is 0 by construction
+    * (optimize drops tombstones physically).
+    */
+  val maintenance: String =
+    """SELECT count(*)::BIGINT AS docs_before,
+      |       sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS tombstoned,
+      |       sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS docs_after,
+      |       0::BIGINT AS deleted_after
+      |FROM documents""".stripMargin
+
+  /** op_incremental: two appended generations fold (openMerged) to the same
+    * doc_count / df as a batch build over the whole corpus.
+    */
+  val incremental: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents
+       |),
+       |f AS (SELECT * FROM tok WHERE term NOT IN ($stopList))
+       |SELECT (SELECT count(DISTINCT doc_id) FROM f)::BIGINT AS doc_count,
+       |       (SELECT count(*) FROM f WHERE term = 'spark')::BIGINT AS df_spark""".stripMargin
+
   // ---- relational coverage (SURVEY.md §2.8) ------------------------------
 
   val relTopk: String =

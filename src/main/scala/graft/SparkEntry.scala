@@ -48,6 +48,20 @@ object SparkEntry {
     "ft_point_date" -> ((s, d) => Engine.topkEvents(s, d, "day<date>:2024-01-10")),
     "ft_range_str" -> ((s, d) => Engine.topk(s, d, "source:[src1 TO src3] AND dup")),
     "ft_boost" -> ((s, d) => Engine.topk(s, d, "dup^3 OR spark")),
+    // index-time per-field boost (reference ViewSettings.getBoost /
+    // FieldType.java:202-205): lang field carries boost 2.5 in its spec
+    "ft_index_boost" -> ((s, d) => {
+      import graft.index._
+      import graft.analysis.Analyzers
+      val fields = Seq(
+        FieldDef("default", "text", TextField(Analyzers.Standard)),
+        FieldDef("lang", "lang", StringField, boost = 2.5),
+        FieldDef("source", "source", StringField))
+      val idx = IndexBuilder.build(docsTable(s, d), "doc_id", fields)
+      new Searcher(idx, SearchOptions(limit = 10)).search("lang:es AND dup")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
     // §2.7 pagination / sort / projections / totals
     "ft_paginate" -> ((s, d) => Engine.topk(s, d, "spark", k = 5, skip = 5)),
     "ft_sort" -> ((s, d) =>
@@ -120,6 +134,42 @@ object SparkEntry {
       // decimal-string HALF_UP and binary rounding diverge)
       Seq((fs.docCount, math.floor(fs.avgdl * 10000.0 + 0.5) / 10000.0))
         .toDF("doc_count", "avgdl")
+    }),
+    // §2.4 maintenance: delete → tombstone count → optimize/_expunge, all
+    // counts oracle-checkable from the raw table
+    "op_maintenance" -> ((s, d) => {
+      import s.implicits._
+      import graft.index.SegmentStore
+      val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
+      val docs = docsTable(s, d)
+      SegmentStore.build(docs, "doc_id", Engine.DocFields, dir, docsPerShard = 128)
+      val before = SegmentStore.info(s, dir)
+      val victims = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long")).as[Long].collect().toSeq
+      SegmentStore.deleteDocs(s, dir, victims)
+      val during = SegmentStore.info(s, dir)
+      val optDir = java.nio.file.Files.createTempDirectory("graft-maint-opt").toString
+      SegmentStore.optimize(s, dir, optDir, docsPerShard = 128)
+      val after = SegmentStore.info(s, optDir)
+      Seq((before("doc_count").asInstanceOf[Long], during("deleted_count").asInstanceOf[Long],
+        after("doc_count").asInstanceOf[Long], after("deleted_count").asInstanceOf[Long]))
+        .toDF("docs_before", "tombstoned", "docs_after", "deleted_after")
+    }),
+    // §2.9 incremental append generations fold to batch-equivalent stats
+    "op_incremental" -> ((s, d) => {
+      import s.implicits._
+      import graft.index.SegmentStore
+      val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+      val docs = docsTable(s, d)
+      graft.streaming.IncrementalIndexer.appendBatch(
+        docs.filter(col("doc_id") % 2 === 0), 0L, dir, Seq("doc_id"), Engine.DocFields, 128)
+      graft.streaming.IncrementalIndexer.appendBatch(
+        docs.filter(col("doc_id") % 2 =!= 0), 1L, dir, Seq("doc_id"), Engine.DocFields, 128)
+      val idx = SegmentStore.openMerged(s, dir)
+      val dfSpark = idx.termStats
+        .filter(col("field") === "default" && col("term") === "spark")
+        .select(col("df")).as[Long].collect().headOption.getOrElse(0L)
+      Seq((idx.fieldStats("default").docCount, dfSpark)).toDF("doc_count", "df_spark")
     }),
     // training-data pipeline: deduplication
     "op_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(docsTable(s, d), "doc_id", "text")),
@@ -218,6 +268,7 @@ object SparkEntry {
         |) WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "ft_range_str" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
     "ft_boost" -> topk(shoulds = Seq(OBoost(OTerm("dup"), 3.0), OTerm("spark"))),
+    "ft_index_boost" -> topk(musts = Seq(OStringTerm("lang", "es", boost = 2.5), OTerm("dup"))),
     "ft_paginate" -> topk(shoulds = Seq(OTerm("spark")), k = 5, skip = 5),
     "ft_sort" -> sortedBy(OTerm("dup"), "source", 10),
     "ft_include" -> withDocs(OTerm("dup"), 5),
@@ -238,6 +289,8 @@ object SparkEntry {
     "op_tokenize" -> OpsOracle.tokenizeSample,
     "op_tokenize_expr" -> OpsOracle.tokenizeSample,
     "op_index_stats" -> OpsOracle.indexStats,
+    "op_maintenance" -> OpsOracle.maintenance,
+    "op_incremental" -> OpsOracle.incremental,
     "op_dedup_exact" -> OpsOracle.dedupExact,
     "op_minhash_sig" -> OpsOracle.minhashSig(),
     "op_minhash_pairs" -> OpsOracle.minhashPairs(),

@@ -106,6 +106,43 @@ object Analyzers {
     }
   }
 
+  /** `classic` analyzer: Lucene ClassicAnalyzer semantics (the pre-UAX#29
+    * StandardAnalyzer) — keeps emails and hosts as single tokens, keeps
+    * company names with inner `&`/`@`, strips acronym dots and possessive
+    * `'s` (ClassicFilter), then lowercases and removes English stop words.
+    * Reference golden: classic("foo@bar.com") is ONE token
+    * (util/AnalyzersTest.java:149-152).
+    */
+  object Classic extends Analyzer {
+    // ordered alternation mirroring ClassicTokenizer's token types:
+    // EMAIL | APOSTROPHE | COMPANY | HOST/NUM (dotted) | ALPHANUM
+    private val TokenRe =
+      ("""[A-Za-z0-9_+\-.]+@[A-Za-z0-9\-]+(?:\.[A-Za-z0-9\-]+)+""" + // EMAIL
+        """|[A-Za-z]+(?:'[A-Za-z]+)+""" + // APOSTROPHE (O'Neil, O'Neil's)
+        """|[A-Za-z0-9]+[&@][A-Za-z0-9]+""" + // COMPANY (AT&T)
+        """|[A-Za-z0-9]+(?:\.[A-Za-z0-9]+)+""" + // HOST / dotted NUM (www.foo.com, 3.14, U.S.A)
+        """|[A-Za-z0-9]+""").r // ALPHANUM
+    private val AcronymRe = """(?:[A-Za-z]\.)+[A-Za-z]\.?""".r
+
+    def tokens(text: String): IndexedSeq[Token] = {
+      val out = new ArrayBuffer[Token]()
+      var pos = 0
+      TokenRe.findAllIn(text).foreach { raw =>
+        // ClassicFilter: acronym dots removed, trailing possessive stripped
+        val undotted =
+          if (AcronymRe.pattern.matcher(raw).matches()) raw.replace(".", "") else raw
+        val base =
+          if (undotted.length > 2 && (undotted.endsWith("'s") || undotted.endsWith("'S")))
+            undotted.dropRight(2)
+          else undotted
+        val term = base.toLowerCase(java.util.Locale.ROOT)
+        if (!EnglishStopWords.contains(term)) out += Token(term, pos)
+        pos += 1
+      }
+      out.toIndexedSeq
+    }
+  }
+
   /** `simple` analyzer: maximal letter runs, lowercased, no stop words
     * (reference: util/Analyzers.java:189-198).
     */
@@ -193,6 +230,7 @@ object Analyzers {
     */
   def byName(name: String): Analyzer = name.toLowerCase(java.util.Locale.ROOT) match {
     case "standard" | "english" => Standard
+    case "classic" => Classic
     case "simple" => Simple
     case "whitespace" => Whitespace
     case "keyword" => Keyword

@@ -27,7 +27,7 @@ final case class TextIndex(
     scala.collection.concurrent.TrieMap.empty
 
   def analyzerFor(field: String): graft.analysis.Analyzer =
-    fields.collectFirst { case FieldDef(`field`, _, TextField(a)) => a }
+    fields.collectFirst { case FieldDef(`field`, _, TextField(a), _) => a }
       .getOrElse(graft.analysis.Analyzers.Keyword)
 
   def isTextField(field: String): Boolean =

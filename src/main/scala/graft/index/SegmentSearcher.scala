@@ -38,7 +38,7 @@ final class SegmentSearcher(
     si.fields.exists(fd => fd.indexField == f && fd.kind.isInstanceOf[TextField])
 
   private def analyzerFor(f: String): graft.analysis.Analyzer =
-    si.fields.collectFirst { case FieldDef(`f`, _, TextField(a)) => a }
+    si.fields.collectFirst { case FieldDef(`f`, _, TextField(a), _) => a }
       .getOrElse(graft.analysis.Analyzers.Keyword)
 
   def parse(q: String): Query =
@@ -78,8 +78,10 @@ final class SegmentSearcher(
   /** Resolve the bound AST to the shipped plan. */
   def plan(q: Query): SQ = {
     val stats = lookupStats(collectTerms(q))
+    def boostOf(f: String): Double =
+      si.fields.find(_.indexField == f).map(_.boost).getOrElse(1.0)
     def weight(f: String, t: String): Option[Double] =
-      stats.get((f, t)).map(st => IndexBuilder.idf(st.df, si.fieldStats(f).docCount))
+      stats.get((f, t)).map(st => IndexBuilder.idf(st.df, si.fieldStats(f).docCount) * boostOf(f))
     def go(q: Query): SQ = q match {
       case EmptyQ => SEmpty
       case TermQ(f, t) =>

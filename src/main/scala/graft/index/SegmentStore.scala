@@ -156,7 +156,7 @@ object SegmentStore {
     }, f.kind match {
       case TextField(a) => analyzerName(a)
       case StringField => ""
-    })).toDF("indexField", "source", "kind", "analyzer")
+    }, f.boost)).toDF("indexField", "source", "kind", "analyzer", "boost")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/spec")
     commitStage(dir, "spec", Map("fields" -> fields.size.toLong))
   }
@@ -272,6 +272,45 @@ object SegmentStore {
     postings.unpersist(blocking = false)
   }
 
+  /** `_cleanup` analog (reference LuceneServlet.java:75-118 deletes index
+    * directories no longer referenced): optimize into a staging dir, then
+    * swap it in and expire every superseded generation file — appended
+    * `termstats`/`fieldstats`/`segments` generations and the tombstone log
+    * all collapse to one fresh generation, so an incrementally-maintained
+    * index stops growing monotonically. A stale staging dir from a crashed
+    * prior attempt is discarded and rebuilt (the swap itself is the
+    * non-atomic window; production maps this to an Iceberg
+    * snapshot-replace commit, see the class note above).
+    */
+  def optimizeInPlace(spark: SparkSession, dir: String, docsPerShard: Long = 1L << 14): Unit = {
+    val staging = s"$dir/staging-optimize"
+    deleteRecursively(staging)
+    optimize(spark, dir, staging, docsPerShard)
+    Seq("spec", "termstats", "fieldstats", "segments").foreach { sub =>
+      deleteRecursively(s"$dir/$sub")
+      Files.move(Paths.get(s"$staging/$sub"), Paths.get(s"$dir/$sub"))
+    }
+    deleteRecursively(s"$dir/tombstones")
+    writeShardSpec(dir, docsPerShard)
+    deleteRecursively(staging)
+  }
+
+  private[graft] def deleteRecursively(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path)) {
+      Files.walk(path).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+    }
+  }
+
+  /** Total file count under an index dir — the observable that `_cleanup`
+    * shrinks (generation hygiene).
+    */
+  def fileCount(dir: String): Long = {
+    val path = Paths.get(dir)
+    if (!Files.exists(path)) 0L else Files.walk(path).filter(Files.isRegularFile(_)).count()
+  }
+
   /** Delete-by-docId: tombstone file, honored by [[SegmentSearcher]] and
     * dropped for real by [[optimize]] — the reference's `deleteDocuments` +
     * `_expunge` pair (DatabaseIndexer.java:350-355,266-271).
@@ -316,6 +355,7 @@ object SegmentStore {
 
   def analyzerName(a: graft.analysis.Analyzer): String = a match {
     case Analyzers.Standard => "standard"
+    case Analyzers.Classic => "classic"
     case Analyzers.Simple => "simple"
     case Analyzers.Whitespace => "whitespace"
     case Analyzers.Keyword => "keyword"
@@ -325,12 +365,12 @@ object SegmentStore {
   def open(spark: SparkSession, dir: String): SegmentIndex = {
     import spark.implicits._
     val spec = spark.read.parquet(s"$dir/spec")
-      .as[(String, String, String, String)].collect()
-    val fields = spec.map { case (idxF, src, kind, an) =>
+      .as[(String, String, String, String, Double)].collect()
+    val fields = spec.map { case (idxF, src, kind, an, boost) =>
       FieldDef(idxF, src, kind match {
         case "text" => TextField(Analyzers.byName(an))
         case "string" => StringField
-      })
+      }, boost)
     }.toSeq
     val fieldStats = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap

@@ -48,6 +48,10 @@ final case class TextField(analyzer: Analyzer) extends FieldKind
 case object StringField extends FieldKind
 
 /** `indexField` is the queryable name (e.g. "default"), `source` the input
-  * column it is derived from.
+  * column it is derived from. `boost` is the index-time per-field boost
+  * (reference ViewSettings.getBoost / couchdb/FieldType.java:202-205): a
+  * constant multiplier carried in the index spec and folded into every
+  * term weight of the field at scoring time — score-equivalent to Lucene
+  * multiplying the field norm, but exact (no 1-byte norm quantization).
   */
-final case class FieldDef(indexField: String, source: String, kind: FieldKind)
+final case class FieldDef(indexField: String, source: String, kind: FieldKind, boost: Double = 1.0)

@@ -104,7 +104,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     */
   private def addHighlights(result: DataFrame, ast: Query): DataFrame = {
     val srcColOpt = index.fields.collectFirst {
-      case graft.index.FieldDef(f, src, _: graft.index.TextField) if f == opts.defaultField => src
+      case graft.index.FieldDef(f, src, _: graft.index.TextField, _) if f == opts.defaultField => src
     }
     srcColOpt match {
       case None => result
@@ -191,6 +191,12 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     lit(idf) * tf * lit(K1 + 1.0) /
       (tf + lit(K1) * (lit(1.0 - B) + lit(B / avgdl) * dl))
 
+  /** Index-time per-field boost from the spec (FieldDef.boost) — folded
+    * into the term weight, exactly 1.0 when unset (IEEE x*1.0 == x).
+    */
+  private def fieldBoost(f: String): Double =
+    index.fields.find(_.indexField == f).map(_.boost).getOrElse(1.0)
+
   private def emptyHits: DataFrame = {
     import spark.implicits._
     spark.emptyDataset[(Long, Double)].toDF("docId", "score")
@@ -212,7 +218,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
         case None => emptyHits
         case Some(st) =>
           val fs = index.fieldStats(f)
-          val theIdf = IndexBuilder.idf(st.df, fs.docCount)
+          val theIdf = IndexBuilder.idf(st.df, fs.docCount) * fieldBoost(f)
           index.postings
             .filter(col("field") === f && col("term") === t)
             .select(col("docId"), bm25Col(theIdf, fs.avgdl, col("tf").cast("double"), col("dl").cast("double")).as("score"))
@@ -225,7 +231,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       // kernel over the (few) candidate rows.
       if (terms.exists(t => !stats.contains((f, t)))) return emptyHits
       val fs = index.fieldStats(f)
-      val sumIdf = terms.map(t => IndexBuilder.idf(stats((f, t)).df, fs.docCount)).sum
+      val sumIdf = terms.map(t => IndexBuilder.idf(stats((f, t)).df, fs.docCount) * fieldBoost(f)).sum
       val frames = terms.zipWithIndex.map { case (t, idx) =>
         index.postings
           .filter(col("field") === f && col("term") === t)

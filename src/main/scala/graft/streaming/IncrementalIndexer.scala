@@ -68,7 +68,10 @@ object IncrementalIndexer {
     if (batchId <= meta.lastBatch) return // replayed batch — already committed
     val spark = batch.sparkSession
     import spark.implicits._
-    if (!SegmentStore.stageDone(dir, "spec")) SegmentStore.writeSpec(spark, dir, fields)
+    if (!SegmentStore.stageDone(dir, "spec")) {
+      SegmentStore.writeSpec(spark, dir, fields)
+      SegmentStore.writeShardSpec(dir, docsPerShard)
+    }
 
     val withIds = DocIds.assign(batch, orderCols, "docId")
       .withColumn("docId", col("docId") + lit(meta.nextDocId))
@@ -97,7 +100,7 @@ object IncrementalIndexer {
       Seq("termstats", "fieldstats", "segments").foreach { sub =>
         promoteGeneration(s"$staging/$sub", s"$dir/$sub", s"gen$batchId")
       }
-      deleteRecursively(Paths.get(staging))
+      SegmentStore.deleteRecursively(staging)
     }
     writeMeta(dir, Meta(meta.nextDocId + n, batchId))
   }
@@ -121,11 +124,6 @@ object IncrementalIndexer {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.delete(_))
-    }
 
   /** Run a streaming query that maintains the index over a parquet-directory
     * stream of new transcript files. `foreachBatch` is the commit point —

@@ -20,6 +20,27 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(terms(Analyzers.Standard, "foo@bar.com") === Seq("foo", "bar.com"))
   }
 
+  test("classic: email/host one token (reference AnalyzersTest.java:149-152)") {
+    assert(terms(Analyzers.Classic, "foo@bar.com") === Seq("foo@bar.com"))
+    assert(terms(Analyzers.Classic, "mail me at xyz@example.co.uk today") ===
+      Seq("mail", "me", "xyz@example.co.uk", "today"))
+    assert(terms(Analyzers.Classic, "visit www.example.com now") ===
+      Seq("visit", "www.example.com", "now"))
+  }
+
+  test("classic: company, acronym, possessive, numbers (ClassicTokenizer/ClassicFilter)") {
+    assert(terms(Analyzers.Classic, "AT&T and Excite@Home") === Seq("at&t", "excite@home"))
+    assert(terms(Analyzers.Classic, "made in U.S.A.") === Seq("made", "usa"))
+    assert(terms(Analyzers.Classic, "O'Neil's car") === Seq("o'neil", "car"))
+    assert(terms(Analyzers.Classic, "pi is 3.14") === Seq("pi", "3.14"))
+  }
+
+  test("classic: lowercase + stop removal + position gaps like standard") {
+    val toks = Analyzers.Classic.tokens("The Quick brown FOX")
+    assert(toks === Vector(Token("quick", 1), Token("brown", 2), Token("fox", 3)))
+    assert(Analyzers.byName("classic") === Analyzers.Classic)
+  }
+
   test("standard: numbers keep interior . and ,") {
     assert(terms(Analyzers.Standard, "pi is 3.14 and n is 1,024") === Seq("pi", "3.14", "n", "1,024"))
   }

@@ -55,6 +55,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("_cleanup analog: optimizeInPlace expires superseded generations, queries unchanged") {
+    val dir = Files.createTempDirectory("graft-cleanup").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 30), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    IncrementalIndexer.appendBatch(turnsDF(30, 60), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    IncrementalIndexer.appendBatch(turnsDF(60, 80), 2L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val victims = topK(SegmentStore.openMerged(spark, dir), "hello").take(2).map(_._1)
+    SegmentStore.deleteDocs(spark, dir, victims)
+    val before = topK(SegmentStore.openMerged(spark, dir), "hello",
+      Some(SegmentStore.deletedDocsDF(spark, dir)))
+    val filesBefore = SegmentStore.fileCount(dir)
+    SegmentStore.optimizeInPlace(spark, dir, docsPerShard = 257)
+    val filesAfter = SegmentStore.fileCount(dir)
+    assert(filesAfter < filesBefore,
+      s"cleanup did not shrink the index dir: $filesBefore -> $filesAfter files")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
+    val after = SegmentStore.openMerged(spark, dir)
+    queries.foreach { q =>
+      val a = topK(after, q)
+      val b = topK(SegmentStore.openMerged(spark, dir), q) // idempotent open
+      assert(a === b)
+    }
+    // docId ranking is preserved; absolute scores legitimately shift because
+    // expunge removes deleted docs from df/avgdl/N (Lucene stats behave the
+    // same across forceMergeDeletes)
+    assert(topK(after, "hello").map(_._1) === before.map(_._1),
+      "post-cleanup ranking differs from pre-cleanup tombstone-filtered ranking")
+  }
+
   test("crash between promotion and meta write: replay does not duplicate the generation") {
     val dir = Files.createTempDirectory("graft-inc-crash").toString
     IncrementalIndexer.appendBatch(turnsDF(0, 60), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
