@@ -83,9 +83,9 @@ object FtOracle {
     * idf = sum of the terms' idfs (Lucene PhraseQuery semantics).
     *
     * slop > 0 (2-term only): PhraseMatch's anchored window semantics — an
-    * anchor position pa of term 0 matches iff some pb of term 1 has
-    * |pb − pa − 1| ≤ slop (covers re-ordered "b a" at slop ≥ 2), and pf
-    * counts matching anchors (`count(DISTINCT p0.pos)`).
+    * anchor position pa of term 0 matches iff its minimal matchLength
+    * min|pb − pa − 1| ≤ slop (covers re-ordered "b a" at slop ≥ 2), and pf
+    * sums the Lucene sloppy weights 1/(1+matchLength) over anchors.
     */
   final case class OPhrase(terms: Seq[String], slop: Int = 0) extends OClause {
     def sql: String = {
@@ -102,12 +102,18 @@ object FtOracle {
              |  WHERE ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}
              |  GROUP BY p0.doc_id""".stripMargin
         } else {
+          // Lucene sloppy weighting: each anchor contributes
+          // 1/(1+matchLength) at its minimal window (PhraseMatch.weightedFreq)
           require(terms.length == 2, "oracle sloppy phrase supports 2 terms")
-          s"""SELECT p0.doc_id AS doc_id, count(DISTINCT p0.pos)::DOUBLE AS pf
-             |  FROM (SELECT doc_id, pos FROM tok WHERE term = '${terms(0)}') p0
-             |  JOIN (SELECT doc_id, pos FROM tok WHERE term = '${terms(1)}') p1
-             |    ON p1.doc_id = p0.doc_id AND abs(p1.pos - p0.pos - 1) <= $slop
-             |  GROUP BY p0.doc_id""".stripMargin
+          s"""SELECT a.doc_id AS doc_id, sum(1.0 / (1.0 + a.ml))::DOUBLE AS pf
+             |  FROM (
+             |    SELECT p0.doc_id AS doc_id, p0.pos AS pos, min(abs(p1.pos - p0.pos - 1)) AS ml
+             |    FROM (SELECT doc_id, pos FROM tok WHERE term = '${terms(0)}') p0
+             |    JOIN (SELECT doc_id, pos FROM tok WHERE term = '${terms(1)}') p1
+             |      ON p1.doc_id = p0.doc_id
+             |    GROUP BY p0.doc_id, p0.pos
+             |  ) a WHERE a.ml <= $slop
+             |  GROUP BY a.doc_id""".stripMargin
         }
       s"""SELECT m.doc_id AS doc_id,
          |  $sumIdf * m.pf * (1.2 + 1.0) / (m.pf + $tfNormDenom) AS s

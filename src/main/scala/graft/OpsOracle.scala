@@ -176,6 +176,64 @@ object OpsOracle {
        |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 
+  def annMultiprobe(queryId: Long = 0, k: Int = 10, bits: Int = 6, hamming: Int = 1): String = {
+    val bucket = (0 until bits)
+      .map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH bkt AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |${cosineFrom(
+      s"""p AS (
+         |  SELECT e.vec_id AS a, $queryId AS b, e.embedding AS ea, q.embedding AS eb
+         |  FROM bkt e, (SELECT embedding, bucket FROM bkt WHERE vec_id = $queryId) q
+         |  WHERE bit_count(xor(e.bucket, q.bucket)) <= $hamming AND e.vec_id <> $queryId
+         |)""".stripMargin).stripPrefix("WITH ")}
+       |SELECT a AS vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+       |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Trained-codebook IVF: `iters` Lloyd iterations from the fixed seed
+    * centroids, mirroring Similarity.ivfTrainedTopK CTE-for-CTE.
+    */
+  def annIvfTrained(queryId: Long = 42, k: Int = 10, nCentroids: Int = 8, iters: Int = 2): String = {
+    def assignCtes(n: Int, centCte: String): String =
+      s"""du$n AS (SELECT e.vid AS vid, c.cid AS cid, unnest(e.v) AS x, unnest(c.ce) AS y
+         |        FROM e, $centCte c),
+         |dd$n AS (SELECT vid, cid, sum((x::DOUBLE - y::DOUBLE) * (x::DOUBLE - y::DOUBLE)) AS dist
+         |        FROM du$n GROUP BY vid, cid),
+         |a$n AS (
+         |  SELECT vid, cid FROM (
+         |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY dist ASC, cid ASC) AS rn
+         |    FROM dd$n
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val iterCtes = (0 until iters).map { n =>
+      s"""${assignCtes(n, s"c$n")},
+         |mx$n AS (SELECT a.cid AS cid, unnest(e.v) AS x, unnest(generate_series(1, len(e.v))) AS i
+         |        FROM a$n a JOIN e ON e.vid = a.vid),
+         |m$n AS (SELECT cid, list(m ORDER BY i) AS me FROM (
+         |          SELECT cid, i, avg(x::DOUBLE) AS m FROM mx$n GROUP BY cid, i
+         |        ) GROUP BY cid),
+         |c${n + 1} AS (SELECT c$n.cid AS cid, coalesce(m$n.me, c$n.ce) AS ce
+         |        FROM c$n LEFT JOIN m$n ON m$n.cid = c$n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+       |c0 AS (SELECT vid AS cid, list_transform(v, x -> x::DOUBLE) AS ce FROM e WHERE vid < $nCentroids),
+       |$iterCtes,
+       |${assignCtes(iters, s"c$iters")},
+       |cell AS (
+       |  SELECT e.vid AS a, e.v AS ea
+       |  FROM e JOIN a$iters av ON av.vid = e.vid
+       |  JOIN (SELECT cid FROM a$iters WHERE vid = $queryId) qc ON av.cid = qc.cid
+       |  WHERE e.vid <> $queryId
+       |),
+       |${cosineFrom(
+      s"""p AS (
+         |  SELECT cell.a AS a, $queryId AS b, cell.ea AS ea, q.v AS eb
+         |  FROM cell, (SELECT v FROM e WHERE vid = $queryId) q
+         |)""".stripMargin).stripPrefix("WITH ")}
+       |SELECT a AS vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+       |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
   def annIvf(queryId: Long = 42, k: Int = 10, nCentroids: Int = 8): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $nCentroids),
        |du AS (SELECT e.vec_id AS vid, c.cid AS cid, unnest(e.embedding) AS x, unnest(c.ce) AS y
@@ -255,6 +313,30 @@ object OpsOracle {
   val mmMeta: String =
     """SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS content_md5
       |FROM documents""".stripMargin
+
+  /** decodeFeatures kernel: byte stats of the UTF-8 payload. The corpus is
+    * ASCII (EngineSpec asserts), so bytes == code points and zero_bytes==0.
+    */
+  val mmDecode: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+      |),
+      |g AS (SELECT doc_id, count(*)::BIGINT AS n, sum(ord(c))::BIGINT AS bsum FROM ch GROUP BY doc_id)
+      |SELECT d.doc_id AS doc_id, coalesce(g.n, 0)::BIGINT AS n_bytes,
+      |       coalesce(g.bsum, 0)::BIGINT AS byte_sum, 0::BIGINT AS zero_bytes,
+      |       md5(d.text) AS content_md5
+      |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""".stripMargin
+
+  /** frameSample: every 4th 16-byte frame digested. */
+  val mmFrames: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, (ceil(length(text) / 16.0))::BIGINT - 1)) AS i
+      |  FROM documents WHERE length(text) > 0
+      |)
+      |SELECT doc_id, i::BIGINT AS frame_idx,
+      |       md5(substr(text, (i * 16 + 1)::BIGINT, 16)) AS frame_md5
+      |FROM f WHERE i % 4 = 0""".stripMargin
 
   /** op_maintenance: build → tombstone doc_id%10==0 → optimize. Counts
     * reproduce from the raw table; deleted_after is 0 by construction

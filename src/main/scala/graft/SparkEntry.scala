@@ -105,6 +105,10 @@ object SparkEntry {
     "seg_prefix" -> ((s, d) => Engine.topkSeg(s, d, "sp*")),
     "seg_wildcard" -> ((s, d) => Engine.topkSeg(s, d, "s?ow")),
     "seg_fuzzy" -> ((s, d) => Engine.topkSeg(s, d, "dup~1")),
+    "seg_range" -> ((s, d) => Engine.topkSeg(s, d, "source:[src1 TO src3] AND dup")),
+    // mixed phrase+term disjunction -> MAXSCORE-pruned per-shard path
+    "seg_mixed" -> ((s, d) => Engine.topkSeg(s, d, "\"merge batch\" spark")),
+    "seg_phrase_slop" -> ((s, d) => Engine.topkSeg(s, d, "\"batch merge\"~2")),
     // §2.5 building blocks, driver-checked
     "op_docid_rank" -> ((s, d) => {
       import graft.index.DocIds
@@ -182,6 +186,8 @@ object SparkEntry {
     "op_ann_brute" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(embTable(s, d), "vec_id", "embedding", 0)),
     "op_ann_lsh" -> ((s, d) => graft.ops.Similarity.lshTopK(embTable(s, d), "vec_id", "embedding", 0)),
     "op_ann_ivf" -> ((s, d) => graft.ops.Similarity.ivfTopK(embTable(s, d), "vec_id", "embedding", 42)),
+    "op_ann_multiprobe" -> ((s, d) => graft.ops.Similarity.multiProbeTopK(embTable(s, d), "vec_id", "embedding", 0)),
+    "op_ann_ivf_trained" -> ((s, d) => graft.ops.Similarity.ivfTrainedTopK(embTable(s, d), "vec_id", "embedding", 42)),
     // training-data pipeline: text analysis
     "op_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(docsTable(s, d), "doc_id", "text")),
     "op_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(docsTable(s, d), "doc_id", "text")),
@@ -189,6 +195,8 @@ object SparkEntry {
     "op_fingerprint" -> ((s, d) => graft.ops.TextAnalysis.fingerprint(docsTable(s, d), "doc_id", "text")),
     // training-data pipeline: multimodal binary plumbing
     "op_mm_meta" -> ((s, d) => graft.ops.Multimodal.binaryMeta(docsTable(s, d), "doc_id", "text")),
+    "op_mm_decode" -> ((s, d) => graft.ops.Multimodal.decodeFeatures(docsTable(s, d), "doc_id", "text")),
+    "op_mm_frames" -> ((s, d) => graft.ops.Multimodal.frameSample(docsTable(s, d), "doc_id", "text")),
     // relational coverage (SURVEY.md §2.8)
     "rel_topk" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
@@ -285,6 +293,9 @@ object SparkEntry {
     "seg_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),
     "seg_wildcard" -> topk(shoulds = Seq(OTermPred("regexp_full_match(term, 's.ow')"))),
     "seg_fuzzy" -> topk(shoulds = Seq(OTermPred("levenshtein(term, 'dup') <= 1"))),
+    "seg_range" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
+    "seg_mixed" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")), OTerm("spark"))),
+    "seg_phrase_slop" -> topk(shoulds = Seq(OPhrase(Seq("batch", "merge"), slop = 2))),
     "op_docid_rank" -> OpsOracle.docidRank,
     "op_tokenize" -> OpsOracle.tokenizeSample,
     "op_tokenize_expr" -> OpsOracle.tokenizeSample,
@@ -300,11 +311,15 @@ object SparkEntry {
     "op_ann_brute" -> OpsOracle.annBrute(),
     "op_ann_lsh" -> OpsOracle.annLsh(),
     "op_ann_ivf" -> OpsOracle.annIvf(),
+    "op_ann_multiprobe" -> OpsOracle.annMultiprobe(),
+    "op_ann_ivf_trained" -> OpsOracle.annIvfTrained(),
     "op_langid" -> OpsOracle.langId,
     "op_quality" -> OpsOracle.quality,
     "op_tokens" -> OpsOracle.tokenCounts,
     "op_fingerprint" -> OpsOracle.fingerprint,
     "op_mm_meta" -> OpsOracle.mmMeta,
+    "op_mm_decode" -> OpsOracle.mmDecode,
+    "op_mm_frames" -> OpsOracle.mmFrames,
     "rel_topk" -> OpsOracle.relTopk,
     "rel_agg" -> OpsOracle.relAgg,
     "rel_join" -> OpsOracle.relJoin,

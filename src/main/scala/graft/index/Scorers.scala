@@ -120,7 +120,7 @@ object Scorers {
   final class PhraseScorer(its: IndexedSeq[TermIterator], slop: Int, weight: Double, avgdl: Double)
       extends DocScorer {
     private var curDoc: Long = -1L
-    private var curFreq: Int = 0
+    private var curFreq: Double = 0.0
     private var curDl: Int = 0
     findNext(0L)
 
@@ -138,8 +138,8 @@ object Scorers {
       target
     }
 
-    private def phraseFreq(): Int =
-      graft.query.PhraseMatch.freq(its.map(_.current.positions).toArray, slop)
+    private def phraseFreq(): Double =
+      graft.query.PhraseMatch.weightedFreq(its.map(_.current.positions).toArray, slop)
 
     private def findNext(target: Long): Unit = {
       var t = target
@@ -269,6 +269,67 @@ object Scorers {
     while (root.doc != NoMoreDocs) {
       if (!excluded(root.doc)) heap.offer(root.doc, root.score)
       root.next()
+    }
+    heap.result
+  }
+
+  /** MAXSCORE pruning (Turtle & Flood 1995) over a general disjunction —
+    * terms, phrases, constant-score rewrites, boosts. Scorers are split by
+    * upper bound: the maximal prefix (ascending maxScore) whose bounds sum
+    * to ≤ the current kth score is NON-ESSENTIAL — a doc appearing only in
+    * non-essential lists cannot reach the top-k, so candidates are drawn
+    * from the essential lists alone and non-essential cursors only ever
+    * `advance` (skip) to candidates, never enumerate. This is the pruned
+    * path for mixed term+phrase disjunctions where block-max WAND
+    * (term-only) doesn't apply. Scores sum in the caller's clause order
+    * (float-determinism invariant shared with wandTopK/BoolScorer).
+    */
+  def maxscoreTopK(scorers: IndexedSeq[DocScorer], k: Int,
+      excluded: Long => Boolean = _ => false): Seq[(Long, Double)] = {
+    val heap = new TopKHeap(k)
+    if (scorers.isEmpty) return heap.result
+    val clauseOrd: Map[DocScorer, Int] = scorers.zipWithIndex.toMap
+    val sorted = scorers.sortBy(_.maxScore).toArray
+    val prefix = new Array[Double](sorted.length + 1)
+    var i = 0
+    while (i < sorted.length) { prefix(i + 1) = prefix(i) + sorted(i).maxScore; i += 1 }
+    var done = false
+    while (!done) {
+      // non-essential prefix under the live threshold
+      val threshold = heap.threshold
+      var ness = 0
+      while (ness < sorted.length && prefix(ness + 1) <= threshold) ness += 1
+      if (ness >= sorted.length) done = true // no scorer set can beat the kth score
+      else {
+        var cand = NoMoreDocs
+        var j = ness
+        while (j < sorted.length) { if (sorted(j).doc < cand) cand = sorted(j).doc; j += 1 }
+        if (cand == NoMoreDocs) done = true
+        else {
+          if (!excluded(cand)) {
+            // actual essential score + non-essential bound: only if that can
+            // beat the threshold do the non-essential cursors advance
+            var essScore = 0.0
+            j = ness
+            while (j < sorted.length) { if (sorted(j).doc == cand) essScore += sorted(j).score; j += 1 }
+            if (essScore + prefix(ness) > threshold) {
+              val matching = scala.collection.mutable.ArrayBuffer[DocScorer]()
+              j = 0
+              while (j < sorted.length) {
+                if (j < ness && sorted(j).doc < cand) sorted(j).advance(cand)
+                if (sorted(j).doc == cand) matching += sorted(j)
+                j += 1
+              }
+              val ordered = matching.sortBy(clauseOrd)
+              var s = 0.0
+              ordered.foreach(t => s += t.score)
+              heap.offer(cand, s)
+            }
+          }
+          j = ness
+          while (j < sorted.length) { if (sorted(j).doc == cand) sorted(j).next(); j += 1 }
+        }
+      }
     }
     heap.result
   }

@@ -208,6 +208,10 @@ object SegmentSearcher {
         wandTopK(shoulds.map { case STerm(f, t, w, avgdl) =>
           new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)
         }.toIndexedSeq, k, excluded)
+      case SBool(m, shoulds, n) if m.isEmpty && n.isEmpty =>
+        // mixed disjunction (phrases/expansions among the clauses):
+        // MAXSCORE pruning — non-essential clauses advance, never enumerate
+        maxscoreTopK(shoulds.map(buildScorer(_, byTerm)).toIndexedSeq, k, excluded)
       case other =>
         exhaustiveTopK(buildScorer(other, byTerm), k, excluded)
     }

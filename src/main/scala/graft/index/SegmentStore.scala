@@ -290,6 +290,16 @@ object SegmentStore {
       deleteRecursively(s"$dir/$sub")
       Files.move(Paths.get(s"$staging/$sub"), Paths.get(s"$dir/$sub"))
     }
+    // compact the upsert key map (if any): drop rows whose docIds the
+    // optimize just expunged, BEFORE clearing the tombstone log
+    if (Files.exists(Paths.get(s"$dir/keys"))) {
+      val live = spark.read.parquet(s"$dir/keys")
+        .join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
+      val compacted = s"$dir/keys-compact"
+      live.write.mode(SaveMode.Overwrite).parquet(compacted)
+      deleteRecursively(s"$dir/keys")
+      Files.move(Paths.get(compacted), Paths.get(s"$dir/keys"))
+    }
     deleteRecursively(s"$dir/tombstones")
     writeShardSpec(dir, docsPerShard)
     deleteRecursively(staging)

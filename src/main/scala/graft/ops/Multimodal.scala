@@ -66,4 +66,24 @@ object Multimodal {
       col(idCol).cast("long").as("doc_id"),
       octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"),
       md5(col(payloadCol)).as("content_md5"))
+
+  /** Frame sampling: the video-style access pattern — split the opaque
+    * payload into fixed-length frames, keep every `step`-th, emit per-frame
+    * digests. Pure column pipeline (sequence → substr → explode): at scale
+    * the explode fans out WITHIN partitions, no shuffle; a real codec would
+    * replace the md5 "feature" with a decoded keyframe inside the same
+    * shape.
+    */
+  def frameSample(docs: DataFrame, idCol: String, payloadCol: String,
+      frameLen: Int = 16, step: Int = 4): DataFrame = {
+    val payload = col(payloadCol)
+    val nFrames = ceil(length(payload).cast("double") / frameLen).cast("int")
+    val idxs = when(length(payload) > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % step === 0))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).cast("long").as("doc_id"), payload.as("p"), idxs.as("idxs"))
+      .select(col("doc_id"), explode(col("idxs")).as("i"), col("p"))
+      .select(col("doc_id"), col("i").cast("long").as("frame_idx"),
+        md5(col("p").substr(col("i") * frameLen + 1, lit(frameLen))).as("frame_md5"))
+  }
 }

@@ -60,6 +60,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN: probe every bucket within Hamming distance
+    * `hamming` of the query's sign bucket (Lv et al. 2007 multi-probe LSH —
+    * recovers the recall a single-bucket probe loses at bucket boundaries).
+    * At scale: `hamming+1 choose bits` partitions read instead of one —
+    * still a tiny fraction of the corpus.
+    */
+  def multiProbeTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, bits: Int = 6, hamming: Int = 1): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), bits))
+    val q = broadcast(withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), col("bucket").as("qbucket")))
+    withBucket.crossJoin(q)
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= hamming &&
+        col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("vec_id"),
+        round(cosine(col(vecCol), col("qvec")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
@@ -86,6 +106,56 @@ object Similarity {
     val qcell = broadcast(assign.filter(col("vid") === queryId)
       .select(col("v").as("qvec"), col("cid").as("qcid")))
     assign.crossJoin(qcell)
+      .filter(col("cid") === col("qcid") && col("vid") =!= queryId)
+      .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** One Lloyd assignment pass: each vector to its L2-nearest centroid
+    * (ties → lowest cid). `cent` must be small (broadcast).
+    */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("dist").asc, col("cid").asc)
+    e.crossJoin(broadcast(cent))
+      .select(col("vid"), col("v"), col("cid"), l2sq(col("v"), col("ce")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+  }
+
+  /** IVF with a TRAINED coarse codebook: `iters` deterministic Lloyd
+    * iterations from the fixed seed centroids (first `nCentroids` vectors),
+    * then single-cell probe. Each iteration is two hash aggregations
+    * (assign is a broadcast crossJoin + per-vid argmin; the new centroid is
+    * the element-wise mean via posexplode→avg→re-assemble) — all shuffles
+    * are on vid/cid, nothing corpus-squared. Mean uses plain `avg`; an
+    * assignment flip would need two centroid distances within float-sum
+    * ulp distance (measure-zero for continuous embeddings; the oracle runs
+    * the identical recipe).
+    */
+  def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    var cent = e.filter(col("vid") < nCentroids)
+      .select(col("vid").as("cid"), transform(col("v"), x => x.cast("double")).as("ce"))
+    for (_ <- 0 until iters) {
+      val assign = assignCells(e, cent)
+      val means = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("me"))
+      // empty cluster keeps its previous centroid
+      cent = broadcast(cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("me"), col("ce")).as("ce")))
+    }
+    val finalAssign = assignCells(e, cent)
+    val qcell = broadcast(finalAssign.filter(col("vid") === queryId)
+      .select(col("v").as("qvec"), col("cid").as("qcid")))
+    finalAssign.crossJoin(qcell)
       .filter(col("cid") === col("qcid") && col("vid") =!= queryId)
       .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)

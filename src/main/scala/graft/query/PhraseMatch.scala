@@ -13,10 +13,10 @@ package graft.query
   * max(adj) − min(adj) ≤ slop. This window formulation is what makes
   * `"a b"~2` match the reversed text "b a" (adj span 2) — the reference
   * serves quoted queries through Lucene's sloppy scorer with exactly this
-  * match set (CustomQueryParser.java:120-128 quoted path). freq counts
-  * matching anchors with weight 1; Lucene weights each 1/(1+matchLength) —
-  * a scoring-shape divergence documented in COVERAGE.md (the two coincide
-  * at slop 0, the reference workload's only phrase form).
+  * match set (CustomQueryParser.java:120-128 quoted path). Scoring uses
+  * [[weightedFreq]]: Lucene's 1/(1+matchLength) per-match weight evaluated
+  * at each anchor's minimal window ([[sloppyFreq]] is the unweighted match
+  * count, kept for match-set reasoning and tests).
   */
 object PhraseMatch {
 
@@ -37,6 +37,30 @@ object PhraseMatch {
         j += 1
       }
       if (ok) f += 1
+      i += 1
+    }
+    f
+  }
+
+  /** Lucene-shaped sloppy phrase frequency: each matching anchor
+    * contributes weight 1/(1+matchLength) where matchLength is the
+    * anchor's MINIMAL adjusted-position window span (Lucene
+    * SloppyPhraseScorer weights each match by sloppyWeight(matchLength) =
+    * 1/(1+matchLength); we evaluate it at the per-anchor optimum). At
+    * slop 0 every match has length 0 and weight 1 — identical to
+    * [[exactFreq]], so the exact path and the sloppy path agree on the
+    * boundary.
+    */
+  def weightedFreq(positions: Array[Array[Int]], slop: Int): Double = {
+    if (slop <= 0) return exactFreq(positions).toDouble
+    val n = positions.length
+    val adj: Array[Array[Int]] = Array.tabulate(n)(i => positions(i).map(_ - i))
+    val first = adj(0)
+    var f = 0.0
+    var i = 0
+    while (i < first.length) {
+      val span = minSpanAnchored(adj, first(i))
+      if (span <= slop) f += 1.0 / (1.0 + span)
       i += 1
     }
     f

@@ -255,7 +255,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
           joined.map { row =>
             val positions = posIdx.map(ix => row.getSeq[Int](ix).toArray).toArray
             org.apache.spark.sql.Row.fromSeq(
-              row.toSeq :+ PhraseMatch.freq(positions, theSlop).toDouble)
+              row.toSeq :+ PhraseMatch.weightedFreq(positions, theSlop))
           }(org.apache.spark.sql.Encoders.row(schema))
         }
       withFreq

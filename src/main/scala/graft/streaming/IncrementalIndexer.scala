@@ -96,13 +96,64 @@ object IncrementalIndexer {
       SegmentStore.encodeSegments(postings, avgdls, docsPerShard)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
       postings.unpersist(blocking = false)
+      // key→docId map rides along as its own generation: the MERGE/upsert
+      // path joins incoming keys against it to find superseded docIds
+      withIds.select((orderCols.map(org.apache.spark.sql.functions.col) :+ col("docId")): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/keys")
       // promote: idempotent move under stable names, then delete staging
-      Seq("termstats", "fieldstats", "segments").foreach { sub =>
+      Seq("termstats", "fieldstats", "segments", "keys").foreach { sub =>
         promoteGeneration(s"$staging/$sub", s"$dir/$sub", s"gen$batchId")
       }
       SegmentStore.deleteRecursively(staging)
     }
     writeMeta(dir, Meta(meta.nextDocId + n, batchId))
+  }
+
+  /** Staleness gate — the reference's default search path blocks until the
+    * index has caught up with the database, bounded by `[lucene] timeout`
+    * (10 s prod default), while `?stale=ok` reads the current snapshot
+    * immediately (DatabaseIndexer.java staleness handling;
+    * couchdb-lucene.ini:12-13). Our snapshot analog: block until the
+    * committed `lastBatch` (the last_seq checkpoint) reaches `minBatch`.
+    * Returns true when fresh, false on timeout — callers then either fail
+    * or serve stale, exactly the reference's two behaviors.
+    */
+  def awaitFresh(dir: String, minBatch: Long, timeoutMs: Long = 10000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (readMeta(dir).lastBatch < minBatch) {
+      if (System.nanoTime() > deadline) return false
+      Thread.sleep(20)
+    }
+    true
+  }
+
+  /** MERGE-style upsert by key — the reference's `updateDocuments` is an
+    * atomic delete-then-add per `_id` (DatabaseIndexer.java:371). Here:
+    * incoming keys are joined against the persisted key→docId map
+    * (distributed semi-join, nothing collected), the superseded docIds are
+    * appended to the tombstone log, and the batch is appended as a fresh
+    * generation with new docIds. Same idempotency as [[appendBatch]]: a
+    * replay re-appends the same tombstone ids (deduplicated at read) and
+    * the append itself is exactly-once. `_expunge`/`optimizeInPlace`
+    * physically removes the superseded rows.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      dir: String,
+      keyCols: Seq[String],
+      fields: Seq[FieldDef],
+      docsPerShard: Long = 1L << 14): Unit = {
+    val meta = readMeta(dir)
+    if (batchId <= meta.lastBatch) return
+    val spark = batch.sparkSession
+    if (Files.exists(Paths.get(s"$dir/keys"))) {
+      val stale = spark.read.parquet(s"$dir/keys")
+        .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .select(col("docId"))
+      stale.write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+    }
+    appendBatch(batch, batchId, dir, keyCols, fields, docsPerShard)
   }
 
   /** Move a staged generation's parquet part files into the live dir under

@@ -107,8 +107,8 @@ final class OracleScorer(docs: Seq[(Long, Map[String, String])], fields: Seq[Fie
       val avg = avgdl(f)
       val candidates = pls.map(_.keySet).reduce(_ intersect _)
       candidates.iterator.flatMap { d =>
-        val freq = graft.query.PhraseMatch.freq(pls.map(_(d)._2).toArray, slop)
-        if (freq > 0) Some(d -> bm25(freq.toDouble, sumIdf, dl((d, f)), avg)) else None
+        val freq = graft.query.PhraseMatch.weightedFreq(pls.map(_(d)._2).toArray, slop)
+        if (freq > 0) Some(d -> bm25(freq, sumIdf, dl((d, f)), avg)) else None
       }.toMap
 
     case BoolQ(clauses) =>

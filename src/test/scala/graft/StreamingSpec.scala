@@ -55,6 +55,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MERGE upsert by key: superseded versions tombstoned, new text queryable") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val base = turnsDF(0, 60)
+    IncrementalIndexer.appendBatch(base, 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val baseDocs = SegmentStore.openMerged(spark, dir).fieldStats("default").docCount
+    // re-submit the first 10 conversations with a sentinel token prepended
+    val updated = turnsDF(0, 10).withColumn("text", concat(lit("zzzupdated "), col("text")))
+    val nUpdated = updated.count()
+    IncrementalIndexer.upsertBatch(updated, 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val idx = SegmentStore.openMerged(spark, dir)
+    val tombs = Some(SegmentStore.deletedDocsDF(spark, dir))
+    // every updated turn matches the sentinel, none of them is a stale docId
+    val hits = new SegmentSearcher(idx, SearchOptions(limit = 100000), tombs).topK("zzzupdated")
+    assert(hits.length.toLong === nUpdated)
+    val deleted = SegmentStore.deletedDocs(spark, dir)
+    assert(deleted.size.toLong === nUpdated, "each updated key tombstones exactly its old docId")
+    assert(hits.map(_._1).toSet.intersect(deleted).isEmpty)
+    // replayed upsert is a no-op (no tombstone double-count after dedup)
+    IncrementalIndexer.upsertBatch(updated, 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    assert(SegmentStore.deletedDocs(spark, dir).size.toLong === nUpdated)
+    // expunge: physical removal, doc count returns to the corpus size
+    SegmentStore.optimizeInPlace(spark, dir, docsPerShard = 257)
+    val after = SegmentStore.openMerged(spark, dir)
+    assert(after.fieldStats("default").docCount === baseDocs)
+    val hitsAfter = new SegmentSearcher(after, SearchOptions(limit = 100000)).topK("zzzupdated")
+    assert(hitsAfter.length.toLong === nUpdated)
+  }
+
   test("_cleanup analog: optimizeInPlace expires superseded generations, queries unchanged") {
     val dir = Files.createTempDirectory("graft-cleanup").toString
     IncrementalIndexer.appendBatch(turnsDF(0, 30), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
@@ -121,6 +149,11 @@ class StreamingSpec extends SparkSpec {
       turnsDF(60, 80).coalesce(1).write.mode(SaveMode.Append).parquet(src)
       q.processAllAvailable()
     } finally q.stop()
+    // staleness gate: both batches committed → fresh for minBatch=1; a
+    // batch that never arrives times out (the ?stale=ok / block-for-latest
+    // pair, reference couchdb-lucene.ini:12-13)
+    assert(IncrementalIndexer.awaitFresh(dir, 1L, timeoutMs = 5000))
+    assert(!IncrementalIndexer.awaitFresh(dir, 99L, timeoutMs = 200))
     val inc = SegmentStore.openMerged(spark, dir)
     queries.take(3).foreach { qq =>
       assert(topK(inc, qq).map(_._1) === topK(batchIndex, qq).map(_._1), s"q=$qq")

@@ -70,6 +70,30 @@ class WandSpec extends AnyFunSuite with GenSamples {
     }
   }
 
+  test("MAXSCORE ≡ exhaustive on mixed term+phrase disjunctions") {
+    def phraseOf(c: Seq[(Double, Vector[Decoded])]): PhraseScorer =
+      new PhraseScorer(c.take(2).map { case (_, run) =>
+        new TermIterator(Codec.encode(run.iterator, avgdl))
+      }.toIndexedSeq, 1, 3.0, avgdl)
+    forAll(Gen.zip(corpusGen, corpusGen), Gen.oneOf(1, 5, 10)) { case ((c1, c2), k) =>
+      whenever(c2.length >= 2) {
+        val got = maxscoreTopK(scorers(c1) ++ IndexedSeq[DocScorer](phraseOf(c2)), k)
+        val want = exhaustiveTopK(
+          new BoolScorer(IndexedSeq.empty,
+            scorers(c1) ++ IndexedSeq[DocScorer](phraseOf(c2)), IndexedSeq.empty), k)
+        assert(got.map(_._1) === want.map(_._1))
+        got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+      }
+    }
+    // pure-term sanity vs brute force, with and without exclusions
+    forAll(corpusGen, Gen.oneOf(1, 3, 10)) { (corpus, k) =>
+      val got = maxscoreTopK(scorers(corpus).map(s => s: DocScorer), k, _ % 7 == 0)
+      val want = bruteForce(corpus, Int.MaxValue).filterNot(_._1 % 7 == 0).take(k)
+      assert(got.map(_._1) === want.map(_._1))
+      got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("exhaustive BoolScorer disjunction agrees too") {
     forAll(corpusGen) { corpus =>
       val root = new BoolScorer(IndexedSeq.empty, scorers(corpus), IndexedSeq.empty)
