@@ -35,7 +35,9 @@ object Engine {
   def clearCaches(): Unit = {
     cache.clear()
     segCache.clear()
+    segDirCache.clear()
     evCache.clear()
+    graft.plans.FullTextSearchExec.clearCache()
   }
 
   def documentsIndex(spark: SparkSession, sfDir: String): TextIndex =
@@ -86,18 +88,26 @@ object Engine {
   // ---- compressed segment (WAND) path ---------------------------------
 
   private val segCache = scala.collection.concurrent.TrieMap[String, SegmentIndex]()
+  private val segDirCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** On-disk segment index dir for a corpus (built once, memoized) — the
+    * path handed to the `graft_search` SQL table function.
+    */
+  def segmentIndexDir(spark: SparkSession, sfDir: String): String =
+    segDirCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-segidx").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      SegmentStore.build(docs, "doc_id", DocFields, dir, docsPerShard = 128)
+      dir
+    })
 
   /** Segment index over the same documents corpus: compressed delta+VByte
     * postings, doc-sharded, queried via block-max WAND — the 100 TB path,
     * wired through the driver gate so DuckDB checks it too.
     */
   def segmentIndex(spark: SparkSession, sfDir: String): SegmentIndex =
-    segCache.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-segidx").toString
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      SegmentStore.build(docs, "doc_id", DocFields, dir, docsPerShard = 128)
-      SegmentStore.open(spark, dir).cached()
-    })
+    segCache.getOrElseUpdate(sfDir,
+      SegmentStore.open(spark, segmentIndexDir(spark, sfDir)).cached())
 
   /** Segment-path top-k, same output shape as [[topk]]. */
   def topkSeg(spark: SparkSession, sfDir: String, q: String, k: Int = 10): DataFrame = {

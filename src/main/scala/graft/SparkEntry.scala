@@ -109,6 +109,16 @@ object SparkEntry {
     // mixed phrase+term disjunction -> MAXSCORE-pruned per-shard path
     "seg_mixed" -> ((s, d) => Engine.topkSeg(s, d, "\"merge batch\" spark")),
     "seg_phrase_slop" -> ((s, d) => Engine.topkSeg(s, d, "\"batch merge\"~2")),
+    // SQL table function -> FullTextSearch LogicalPlan -> native Strategy
+    "seg_sql" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val dir = Engine.segmentIndexDir(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("docId").asc)
+      s.sql(s"SELECT docId, score FROM graft_search('$dir', 'spark AND merge', 10)")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"), col("rank"))
+    }),
     // §2.5 building blocks, driver-checked
     "op_docid_rank" -> ((s, d) => {
       import graft.index.DocIds
@@ -296,6 +306,7 @@ object SparkEntry {
     "seg_range" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
     "seg_mixed" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")), OTerm("spark"))),
     "seg_phrase_slop" -> topk(shoulds = Seq(OPhrase(Seq("batch", "merge"), slop = 2))),
+    "seg_sql" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
     "op_docid_rank" -> OpsOracle.docidRank,
     "op_tokenize" -> OpsOracle.tokenizeSample,
     "op_tokenize_expr" -> OpsOracle.tokenizeSample,

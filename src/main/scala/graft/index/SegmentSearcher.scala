@@ -130,8 +130,16 @@ final class SegmentSearcher(
       rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
         key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
       }
-    val grouped = si.segments.filter(cond).groupByKey(_.shard)
+    lazy val grouped = si.segments.filter(cond).groupByKey(_.shard)
     val perShard = tombstones match {
+      case None if si.shardAligned =>
+        // serving path: partitions already hold whole shards (cached()), so
+        // the query is ONE narrow stage — no per-query shuffle
+        si.segments.filter(cond).mapPartitions { it =>
+          it.toSeq.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
+            SegmentSearcher.shardTopK(sq, byTermOf(rows.iterator), k).iterator
+          }
+        }
       case None =>
         grouped.flatMapGroups { (_, rows) =>
           SegmentSearcher.shardTopK(sq, byTermOf(rows), k).iterator

@@ -396,13 +396,28 @@ final class SegmentIndex(
     val termStats: Dataset[TermStats],
     val fieldStats: Map[String, FieldStats],
     val fields: Seq[FieldDef],
-    val docsPerShard: Long = 1L << 20) {
+    val docsPerShard: Long = 1L << 20,
+    /** True when every partition of `segments` holds only whole shards
+      * (see [[cached]]) — queries then skip the per-query shuffle.
+      */
+    val shardAligned: Boolean = false) {
 
   /** Driver-side term-stats memo (see TextIndex.statsCache). */
   @transient lazy val statsCache: scala.collection.concurrent.TrieMap[(String, String), Option[TermStats]] =
     scala.collection.concurrent.TrieMap.empty
 
+  /** Serving mode: repartition ONCE by shard and pin in memory. Every
+    * subsequent query runs as a single narrow stage (filter → per-partition
+    * shard top-k → TakeOrdered) instead of paying a groupByKey shuffle per
+    * query — the per-query exchange amortizes into index open, exactly
+    * like Lucene opening per-segment readers up front.
+    */
   def cached(): SegmentIndex = {
-    segments.persist(); termStats.persist(); this
+    val parts = segments.sparkSession.sessionState.conf.numShufflePartitions
+    val aligned = segments.repartition(parts, org.apache.spark.sql.functions.col("shard"))
+    val idx = new SegmentIndex(aligned, termStats, fieldStats, fields, docsPerShard, shardAligned = true)
+    idx.segments.persist()
+    idx.termStats.persist()
+    idx
   }
 }

@@ -15,6 +15,19 @@ class PlansSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("graft_search SQL plans through the native FullTextSearchExec node") {
+    graft.functions.GraftExtensions.register(spark)
+    val dir = Engine.segmentIndexDir(spark, sfDir)
+    val df = spark.sql(s"SELECT docId, score FROM graft_search('$dir', 'dup', 10)")
+    assert(planOf(df).contains("FullTextSearchExec"), planOf(df).take(2000))
+    // results identical to the programmatic segment path
+    val sql = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (d, s) => (-s, d) }
+    val api = new graft.index.SegmentSearcher(
+      Engine.segmentIndex(spark, sfDir), SearchOptions(limit = 10)).topK("dup")
+    assert(sql === api)
+  }
+
   test("top-k is TakeOrderedAndProject (bounded heaps, no global sort)") {
     val plan = planOf(Engine.topk(spark, sfDir, "dup"))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
