@@ -63,7 +63,9 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // 4 waves of shuffle tasks per core: straggler smoothing — with one
+      // partition per core any imbalance idles whole cores at stage tails
+      .config("spark.sql.shuffle.partitions", (4 * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$scratchRoot/spark-local")
       .config("spark.ui.enabled", "false")
@@ -153,15 +155,32 @@ object Bench {
     * that. Each child does its own (unmeasured) JIT warm-up, so both sides
     * of a pair start equally warm.
     */
-  private def scalingRunIsolated(cpus: Int, numConvs: Long, rounds: Int): (Double, Double) = {
+  /** Launch a measurement child HARD-pinned to `cpus` host CPUs:
+    * `taskset -c firstCpu..` confines every thread of the JVM (executor,
+    * driver, GC, IO) to exactly that many cores — `-XX:ActiveProcessorCount`
+    * alone only sizes thread pools, and Spark's auxiliary threads then
+    * overlap real work onto extra host cores, inflating the small run
+    * (observed: an "1-core" run at 8.5k turns/s vs 6.2k truly pinned).
+    * Disjoint CPU ranges let pair members run concurrently without
+    * touching each other.
+    */
+  private def launchChild(cpus: Int, firstCpu: Int, numConvs: Long, rounds: Int): Process = {
     val java = sys.props("java.home") + "/bin/java"
-    val cmd = Seq(java, s"-XX:ActiveProcessorCount=$cpus", "-Xmx16g") ++ jdk17AddOpens ++ Seq(
+    val cpuList = s"$firstCpu-${firstCpu + cpus - 1}"
+    // 24g heap: at 16g the 820k-turn build GC-thrashes (measured 7.5k vs
+    // 19.5k turns/s on identical pinned 4-core runs) — heap must not be
+    // the variable the scaling ratio measures
+    val cmd = Seq("taskset", "-c", cpuList,
+      java, s"-XX:ActiveProcessorCount=$cpus", "-Xmx24g") ++ jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "child", cpus.toString, numConvs.toString, rounds.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
-    val proc = pb.start()
+    pb.start()
+  }
+
+  private def childResult(proc: Process, label: String): (Double, Double) = {
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
     proc.waitFor()
     out.find(_.startsWith("CHILD_RESULT")) match {
@@ -169,8 +188,27 @@ object Bench {
         val parts = line.split(" ")
         (parts(1).toDouble, parts(2).toDouble)
       case None =>
-        sys.error(s"scaling child (cpus=$cpus) failed:\n" + out.takeRight(40).mkString("\n"))
+        sys.error(s"scaling child ($label) failed:\n" + out.takeRight(40).mkString("\n"))
     }
+  }
+
+  /** One (4N, N) efficiency sample: BOTH child JVMs run CONCURRENTLY
+    * (4N+N ≤ 5 of 32 host cores), so any external host load during the
+    * window hits both sides and cancels in the throughput ratio —
+    * sequential pairs measured load arriving during one side as fake
+    * (in)efficiency (observed: the same 4-core build ranged 10.7k–22k
+    * turns/s across host-load regimes while 1-core held ±15%).
+    */
+  private def scalingPair(cpus4: Int, cpusN: Int, numConvs: Long, rounds: Int)
+      : ((Double, Double), (Double, Double)) = {
+    // disjoint hard-pinned CPU ranges: 4N on cpus 0..4N-1, N right after —
+    // the pair shares a time window (external load cancels in the ratio)
+    // but never a core
+    val pN = launchChild(cpusN, cpus4, numConvs, rounds)
+    val p4 = launchChild(cpus4, 0, numConvs, rounds)
+    val r4 = childResult(p4, s"cpus=$cpus4")
+    val rN = childResult(pN, s"cpus=$cpusN")
+    (r4, rN)
   }
 
   def main(args: Array[String]): Unit = {
@@ -236,9 +274,7 @@ object Bench {
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val n4Cores = nCores * 4
     val pairs = (1 to reps).map { _ =>
-      val r4 = scalingRunIsolated(n4Cores, numConvs, rounds)
-      val rN = scalingRunIsolated(nCores, numConvs, rounds)
-      (r4, rN)
+      scalingPair(n4Cores, nCores, numConvs, rounds)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val tps4 = pairs.map(_._1._1).max

@@ -148,14 +148,64 @@ object FtOracle {
       shoulds: Seq[OClause] = Nil,
       nots: Seq[OClause] = Nil,
       k: Int = 10,
+      skip: Int = 0): String = topkWith(baseCtes, musts, shoulds, nots, k, skip)
+
+  /** Same envelope over a different tokenization (whitespace / ngram
+    * analyzer gates supply their own tok/ftok/dl/fstat/tf/df CTE chain).
+    */
+  def topkWith(
+      ctes: String,
+      musts: Seq[OClause] = Nil,
+      shoulds: Seq[OClause] = Nil,
+      nots: Seq[OClause] = Nil,
+      k: Int = 10,
       skip: Int = 0): String = {
     val body = rankedBody(musts, shoulds, nots)
-    s"""WITH $baseCtes
+    s"""WITH $ctes
        |SELECT doc_id, round(s, 4) AS score_r, rank
        |FROM ($body)
        |WHERE rank > $skip AND rank <= ${skip + k}
        |ORDER BY rank""".stripMargin
   }
+
+  /** Whitespace-analyzer CTEs: split on \s+, NO stop removal, case kept
+    * (the corpus is lowercase, so tokens differ from `standard` exactly by
+    * stop retention — dl/avgdl/df all shift, a real differentiated check).
+    */
+  val wsCtes: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_extract_all(text, '\S+')) AS term,
+      |         unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) AS pos
+      |  FROM documents
+      |),
+      |ftok AS (SELECT * FROM tok),
+      |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
+      |fstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ftok GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)""".stripMargin
+
+  /** NGram(min=1,max=2 over standard tokens) CTEs: every 1- and 2-gram of
+    * each post-stop token, inheriting the token's position.
+    */
+  val ngramCtes: String =
+    s"""tok0 AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+       |  FROM documents
+       |),
+       |stok AS (SELECT * FROM tok0 WHERE term NOT IN ($stopList)),
+       |gl AS (SELECT doc_id, term, pos, unnest(generate_series(1, 2)) AS g FROM stok),
+       |gs AS (SELECT doc_id, term, pos, g,
+       |              unnest(generate_series(1, greatest(length(term) - g + 1, 0))) AS st
+       |       FROM gl),
+       |tok AS (SELECT doc_id, substr(term, st, g) AS term, pos FROM gs),
+       |ftok AS (SELECT * FROM tok),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
+       |fstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ftok GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)""".stripMargin
 
   /** comb CTE body with rank column. */
   private def rankedBody(musts: Seq[OClause], shoulds: Seq[OClause], nots: Seq[OClause]): String = {

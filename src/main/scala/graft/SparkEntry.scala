@@ -62,6 +62,26 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
           col("rank").cast("long").as("rank"))
     }),
+    // §2.3 analyzer variants driver-gated end-to-end (whitespace keeps
+    // stop words -> shifted dl/df/idf; ngram expands the query term too)
+    "ft_ws_analyzer" -> ((s, d) => {
+      import graft.index._
+      import graft.analysis.Analyzers
+      val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
+        Seq(FieldDef("default", "text", TextField(Analyzers.Whitespace))))
+      new Searcher(idx, SearchOptions(limit = 10)).search("dup")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
+    "ft_ngram_analyzer" -> ((s, d) => {
+      import graft.index._
+      import graft.analysis.Analyzers
+      val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
+        Seq(FieldDef("default", "text", TextField(Analyzers.NGram()))))
+      new Searcher(idx, SearchOptions(limit = 10)).search("sp")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
     // §2.7 pagination / sort / projections / totals
     "ft_paginate" -> ((s, d) => Engine.topk(s, d, "spark", k = 5, skip = 5)),
     "ft_sort" -> ((s, d) =>
@@ -287,6 +307,8 @@ object SparkEntry {
     "ft_range_str" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
     "ft_boost" -> topk(shoulds = Seq(OBoost(OTerm("dup"), 3.0), OTerm("spark"))),
     "ft_index_boost" -> topk(musts = Seq(OStringTerm("lang", "es", boost = 2.5), OTerm("dup"))),
+    "ft_ws_analyzer" -> topkWith(wsCtes, shoulds = Seq(OTerm("dup"))),
+    "ft_ngram_analyzer" -> topkWith(ngramCtes, shoulds = Seq(OTerm("s"), OTerm("p"), OTerm("sp"))),
     "ft_paginate" -> topk(shoulds = Seq(OTerm("spark")), k = 5, skip = 5),
     "ft_sort" -> sortedBy(OTerm("dup"), "source", 10),
     "ft_include" -> withDocs(OTerm("dup"), 5),
