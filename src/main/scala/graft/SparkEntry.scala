@@ -103,7 +103,13 @@ object SparkEntry {
           concat_ws(" … ", col("highlights")).as("highlights"))),
     "ft_total" -> ((s, d) => {
       import s.implicits._
-      Seq(searcher(s, d).totalRows("spark merge")).toDF("total_rows")
+      // one-pass envelope: total_rows observed on the same scoring pass
+      // that produced the top-k (reference reads totalHits off the one
+      // collector, DatabaseIndexer.java:638) — round 2 re-ran the query
+      // as a second count() job
+      val (hits, obs) = searcher(s, d).searchWithTotal("spark merge")
+      hits.collect()
+      Seq(obs.get.apply("total_rows").asInstanceOf[Long]).toDF("total_rows")
     }),
     "ft_multi" -> ((s, d) =>
       searcher(s, d).multiSearch("dup,spark AND merge")

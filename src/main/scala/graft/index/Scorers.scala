@@ -63,12 +63,31 @@ object Scorers {
 
     /** Upper bound of the tf-norm over the remaining blocks under the live
       * avgdl q: per-block encode-time bound inflated by max(1, q/encAvgdl)
-      * (see [[Codec.Block.encAvgdl]]). Global max — still a valid bound as
-      * blocks are consumed.
+      * (see [[Codec.Block.encAvgdl]]). Served from a suffix-max array
+      * computed ONCE per (iterator, q) — O(1) per call where the round-2
+      * version re-scanned every block inside WAND's per-pivot loop
+      * (O(pivots × blocks) for hot terms) — and it tightens as blocks are
+      * consumed: the bound only covers blocks the cursor hasn't passed.
       */
-    def maxTfNorm(qAvgdl: Double): Double =
-      if (blocks.isEmpty) 0.0
-      else blocks.map(b => b.maxTfNorm * math.max(1.0, qAvgdl / b.encAvgdl)).max
+    def maxTfNorm(qAvgdl: Double): Double = {
+      if (blocks.isEmpty) return 0.0
+      if (qAvgdl != boundAvgdl) {
+        val n = blocks.length
+        val s = new Array[Double](n + 1)
+        var i = n - 1
+        while (i >= 0) {
+          val b = blocks(i)
+          val v = b.maxTfNorm * math.max(1.0, qAvgdl / b.encAvgdl)
+          s(i) = math.max(v, s(i + 1))
+          i -= 1
+        }
+        suffixMaxTfNorm = s
+        boundAvgdl = qAvgdl
+      }
+      suffixMaxTfNorm(math.min(bi, blocks.length))
+    }
+    private var boundAvgdl: Double = Double.NaN
+    private var suffixMaxTfNorm: Array[Double] = _
 
     /** Block-local bound for the current block under the live avgdl. */
     def blockMaxTfNorm(qAvgdl: Double): Double =
@@ -166,7 +185,21 @@ object Scorers {
     def score: Double =
       weight * curFreq * (IndexBuilder.K1 + 1.0) /
         (curFreq + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * curDl))
-    def maxScore: Double = weight * (IndexBuilder.K1 + 1.0) // tf-norm < k1+1
+    /** Block-derived phrase bound (round-3, COVERAGE "phrase-under-WAND"):
+      * an exact-phrase occurrence consumes a distinct position of EVERY
+      * member term, so pf ≤ min over terms of that term's tf in the doc and
+      * tfNorm(pf, dl) ≤ min over terms of their remaining-block tf-norm
+      * bounds. A sloppy anchor may reuse non-anchor positions across
+      * matches, so only term 0's bound (pf ≤ tf₀ · 1, weights ≤ 1 per
+      * anchor) applies. Clamped by the k1+1 asymptote; tightens as the
+      * member iterators consume blocks.
+      */
+    def maxScore: Double = {
+      val tfBound =
+        if (slop <= 0) its.iterator.map(_.maxTfNorm(avgdl)).min
+        else its.head.maxTfNorm(avgdl)
+      weight * math.min(IndexBuilder.K1 + 1.0, tfBound)
+    }
   }
 
   /** Constant-score disjunction over expanded terms (prefix/wildcard/fuzzy/

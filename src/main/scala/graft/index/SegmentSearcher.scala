@@ -119,7 +119,11 @@ final class SegmentSearcher(
   // ---- distributed execution -------------------------------------------
 
   /** (docId, score) top-k DataFrame, ordered (score desc, docId asc). */
-  def search(q: String): DataFrame = {
+  def search(q: String): DataFrame = searchInternal(q, None)
+
+  private def searchInternal(
+      q: String,
+      countAcc: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
     val sq = plan(parse(q))
     val k = opts.skip + opts.limit
     import spark.implicits._
@@ -130,6 +134,16 @@ final class SegmentSearcher(
       rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
         key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
       }
+    def run(byTerm: Map[(String, String), IndexedSeq[Codec.Block]],
+        del: Long => Boolean): Iterator[(Long, Double)] = countAcc match {
+      case None => SegmentSearcher.shardTopK(sq, byTerm, k, del).iterator
+      case Some(acc) =>
+        // totals pass: exhaustive scoring (pruning would skip uncounted
+        // matches) with the accumulator as the per-shard hit counter —
+        // total_rows is a side-output of the one top-k job, exactly the
+        // reference's collector.totalHits (DatabaseIndexer.java:638)
+        SegmentSearcher.exhaustiveCounted(sq, byTerm, k, del, acc.add(_)).iterator
+    }
     lazy val grouped = si.segments.filter(cond).groupByKey(_.shard)
     val perShard = tombstones match {
       case None if si.shardAligned =>
@@ -137,13 +151,11 @@ final class SegmentSearcher(
         // the query is ONE narrow stage — no per-query shuffle
         si.segments.filter(cond).mapPartitions { it =>
           it.toSeq.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
-            SegmentSearcher.shardTopK(sq, byTermOf(rows.iterator), k).iterator
+            run(byTermOf(rows.iterator), _ => false)
           }
         }
       case None =>
-        grouped.flatMapGroups { (_, rows) =>
-          SegmentSearcher.shardTopK(sq, byTermOf(rows), k).iterator
-        }
+        grouped.flatMapGroups { (_, rows) => run(byTermOf(rows), _ => false) }
       case Some(df) =>
         // tombstones ride the same shard grouping as the posting rows — a
         // co-group, not a driver Set broadcast: each shard sees only ITS
@@ -155,7 +167,7 @@ final class SegmentSearcher(
           .groupByKey(id => (id / dps).toInt)
         grouped.cogroup(tombs) { (_, rows, dels) =>
           val del = dels.toSet
-          SegmentSearcher.shardTopK(sq, byTermOf(rows), k, del.contains).iterator
+          run(byTermOf(rows), del.contains)
         }
     }
     perShard.toDF("docId", "score")
@@ -166,6 +178,14 @@ final class SegmentSearcher(
   def topK(q: String): Seq[(Long, Double)] =
     search(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       .drop(opts.skip)
+
+  /** Top-k plus exact total matching docs from ONE distributed pass. */
+  def topKWithTotal(q: String): (Seq[(Long, Double)], Long) = {
+    val acc = spark.sparkContext.longAccumulator("graft.total_rows")
+    val rows = searchInternal(q, Some(acc)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.drop(opts.skip)
+    (rows, acc.value)
+  }
 }
 
 object SegmentSearcher {
@@ -223,4 +243,20 @@ object SegmentSearcher {
       case other =>
         exhaustiveTopK(buildScorer(other, byTerm), k, excluded)
     }
+
+  /** Exhaustive top-k that also reports every non-excluded match to
+    * `onMatch` — the totals path (pruned scorers skip docs they can prove
+    * can't rank, so they can't count).
+    */
+  def exhaustiveCounted(
+      sq: SQ,
+      byTerm: Map[(String, String), IndexedSeq[Block]],
+      k: Int,
+      excluded: Long => Boolean,
+      onMatch: Long => Unit): Seq[(Long, Double)] =
+    exhaustiveTopK(buildScorer(sq, byTerm), k, d => {
+      val ex = excluded(d)
+      if (!ex) onMatch(1L)
+      ex
+    })
 }

@@ -65,8 +65,17 @@ object SegmentStore {
   }
 
   def docsPerShardOf(dir: String): Long =
-    if (!Files.exists(shardSpecPath(dir))) 1L << 20
-    else """"docsPerShard":\s*(\d+)""".r.findFirstMatchIn(Files.readString(shardSpecPath(dir)))
+    if (!Files.exists(shardSpecPath(dir))) {
+      // A lost shardspec under an index WITH tombstones is not guessable:
+      // a wrong docsPerShard routes deleted docIds to the wrong shard
+      // co-group and deleted docs silently reappear. Refuse to serve.
+      if (Files.exists(Paths.get(s"$dir/tombstones")))
+        throw new IllegalStateException(
+          s"$dir has tombstones but no checkpoints/shardspec.json — refusing to guess " +
+            "docsPerShard (deletes would be silently mis-routed); restore the shardspec " +
+            "or run optimize() to rewrite the index")
+      1L << 20
+    } else """"docsPerShard":\s*(\d+)""".r.findFirstMatchIn(Files.readString(shardSpecPath(dir)))
       .map(_.group(1).toLong).getOrElse(1L << 20)
 
   def stageDone(dir: String, stage: String): Boolean = Files.exists(ckptPath(dir, stage))
@@ -308,8 +317,12 @@ object SegmentStore {
   private[graft] def deleteRecursively(p: String): Unit = {
     val path = Paths.get(p)
     if (Files.exists(path)) {
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.delete(_))
+      // Files.walk streams hold an open directory fd until closed — leaks
+      // per micro-batch in the long-running streaming indexer (ADVICE r2)
+      scala.util.Using.resource(Files.walk(path)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.delete(_))
+      }
     }
   }
 
@@ -318,7 +331,8 @@ object SegmentStore {
     */
   def fileCount(dir: String): Long = {
     val path = Paths.get(dir)
-    if (!Files.exists(path)) 0L else Files.walk(path).filter(Files.isRegularFile(_)).count()
+    if (!Files.exists(path)) 0L
+    else scala.util.Using.resource(Files.walk(path))(_.filter(Files.isRegularFile(_)).count())
   }
 
   /** Delete-by-docId: tombstone file, honored by [[SegmentSearcher]] and
@@ -327,8 +341,17 @@ object SegmentStore {
     */
   def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
     import spark.implicits._
-    docIds.toDS().toDF("docId").write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+    deleteDocs(docIds.toDS().toDF("docId"), dir)
   }
+
+  /** Distributed delete: tombstone a whole DataFrame of docIds without ever
+    * materializing the delete set on the driver — at scale deletes are
+    * normal state, potentially corpus-sized (the upsert path already writes
+    * tombstones this way; this is the public API for it).
+    */
+  def deleteDocs(docIds: DataFrame, dir: String): Unit =
+    docIds.select(col("docId").cast("long").as("docId"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
 
   /** Tombstoned docIds as a (distinct) DataFrame — the scale-safe shape:
     * the query path co-groups these with segment rows per shard, and
@@ -374,7 +397,12 @@ object SegmentStore {
 
   def open(spark: SparkSession, dir: String): SegmentIndex = {
     import spark.implicits._
-    val spec = spark.read.parquet(s"$dir/spec")
+    // boost entered the spec in round 2 — a round-1 (4-column) dir still
+    // opens, defaulting boost to 1.0 (ADVICE r2: no opaque encoder error)
+    val specDf = spark.read.parquet(s"$dir/spec")
+    val spec = (if (specDf.columns.contains("boost")) specDf
+                else specDf.withColumn("boost", lit(1.0)))
+      .select("indexField", "source", "kind", "analyzer", "boost")
       .as[(String, String, String, String, Double)].collect()
     val fields = spec.map { case (idxF, src, kind, an, boost) =>
       FieldDef(idxF, src, kind match {

@@ -52,9 +52,31 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     * by docId asc (Lucene tie-break). Extra stored fields joined when
     * requested.
     */
-  def search(q: String): DataFrame = {
-    val ast = parse(q)
-    val hits = exec(ast)
+  def search(q: String): DataFrame = searchFrom(parse(q), None)
+
+  /** Top-k envelope AND total_rows from ONE scoring pass — the reference
+    * reads `totalHits` off the same collector that gathered the top docs
+    * (DatabaseIndexer.java:638); here a `CollectMetrics` (observe) node
+    * counts every scored row on its way into TakeOrderedAndProject, so the
+    * count is a free side-output of the top-k job instead of a second full
+    * execution. Read the observation AFTER an action on the frame:
+    * {{{
+    *   val (df, obs) = searcher.searchWithTotal(q)
+    *   val rows = df.collect()
+    *   val total = obs.get("total_rows").asInstanceOf[Long]
+    * }}}
+    */
+  def searchWithTotal(q: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (searchFrom(parse(q), Some(obs)), obs)
+  }
+
+  private def searchFrom(ast: Query, totalObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val hits0 = exec(ast)
+    val hits = totalObs match {
+      case Some(obs) => hits0.observe(obs, count(lit(1)).as("total_rows"))
+      case None => hits0
+    }
     val k = opts.skip + opts.limit
     // Field sort joins sort keys from the doc table (aliased sort_i to avoid
     // collisions); scores still computed, un-normalized (reference
@@ -229,17 +251,28 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       // phrase occurrences. Exact phrases stay a codegen'd higher-order
       // array expression; sloppy phrases evaluate the shared PhraseMatch
       // kernel over the (few) candidate rows.
+      //
+      // Join order is RAREST-FIRST (df ascending, known on the driver like
+      // Lucene's TermStates) and the rare side is broadcast: every join
+      // streams a bigger posting list past a hash map of the accumulated
+      // (≤ rarest-df-row) result — common terms' postings are never
+      // shuffled. Round 2 joined in phrase order with no hint: two common
+      // terms ⇒ a full n-way shuffle (ft_phrase 10.4 s vs 0.27 s on the
+      // segment path; VERDICT r2).
       if (terms.exists(t => !stats.contains((f, t)))) return emptyHits
       val fs = index.fieldStats(f)
       val sumIdf = terms.map(t => IndexBuilder.idf(stats((f, t)).df, fs.docCount) * fieldBoost(f)).sum
-      val frames = terms.zipWithIndex.map { case (t, idx) =>
-        index.postings
-          .filter(col("field") === f && col("term") === t)
-          .select(col("docId"), col("positions").as(s"p$idx"), col("dl"))
+      val orderIdx = terms.indices.sortBy(i => stats((f, terms(i))).df)
+      val frames = orderIdx.zipWithIndex.map { case (termIdx, joinPos) =>
+        val base = index.postings.filter(col("field") === f && col("term") === terms(termIdx))
+        if (joinPos == 0) base.select(col("docId"), col("positions").as(s"p$termIdx"), col("dl"))
+        else base.select(col("docId"), col("positions").as(s"p$termIdx"))
       }
-      val joined = frames.zipWithIndex
-        .map { case (fr, idx) => if (idx == 0) fr else fr.drop("dl") }
-        .reduce((a, b) => a.join(b, Seq("docId")))
+      val rareDf = stats((f, terms(orderIdx.head))).df
+      val joined =
+        if (rareDf <= Searcher.BroadcastDfMax)
+          frames.tail.foldLeft(frames.head)((a, b) => broadcast(a).join(b, Seq("docId")))
+        else frames.reduce((a, b) => a.join(b, Seq("docId")))
       val withFreq: DataFrame =
         if (slop <= 0) {
           val matchCond = (1 until terms.length)
@@ -266,18 +299,52 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       val pos = clauses.filter(_.occur != Occur.MustNot)
       val neg = clauses.filter(_.occur == Occur.MustNot)
       if (pos.isEmpty) return emptyHits // pure negation matches nothing (Lucene)
-      val numMust = pos.count(_.occur == Occur.Must)
-      val frames = pos.zipWithIndex.map { case (c, idx) =>
-        execWith(c.q, stats).select(
-          col("docId"), col("score"),
-          lit(if (c.occur == Occur.Must) 1 else 0).as("isMust"),
-          lit(idx).as("cid"))
+      val musts = pos.zipWithIndex.filter(_._1.occur == Occur.Must)
+      val shoulds = pos.zipWithIndex.filter(_._1.occur == Occur.Should)
+      // MUST conjunctions over term clauses: rarest-first broadcast hash
+      // joins (match set ≤ the rarest term's df, known on the driver) —
+      // the union+groupBy shape shuffled both common terms' full posting
+      // frames (ft_and 5.5 s vs 0.53 s segment path; VERDICT r2). SHOULD
+      // clauses then left-join onto the (small) conjunction,
+      // score-if-present. Falls back to union+groupBy when any MUST isn't
+      // a stats-known term (doc-value predicates, expansions) or there are
+      // no MUSTs at all (a true disjunction needs the union).
+      def mustDf(q: Query): Option[Long] = q match {
+        case TermQ(f, t) => Some(stats.get((f, t)).map(_.df).getOrElse(0L))
+        case _ => None
       }
-      var combined = frames.reduce(_ unionByName _)
-        .groupBy(col("docId"))
-        .agg(sum(col("score")).as("score"), sum(col("isMust")).as("mustHits"))
-      if (numMust > 0) combined = combined.filter(col("mustHits") === numMust)
-      val positive = combined.select(col("docId"), col("score"))
+      val mustDfs = musts.map(m => mustDf(m._1.q))
+      val positive =
+        if (musts.nonEmpty && mustDfs.forall(_.isDefined)) {
+          val ordered = musts.zip(mustDfs.map(_.get)).sortBy(_._2).map(_._1)
+          val frames = ordered.map { case (c, i) =>
+            execWith(c.q, stats).select(col("docId"), col("score").as(s"s_$i"))
+          }
+          val conj =
+            if (mustDfs.flatten.min <= Searcher.BroadcastDfMax)
+              frames.tail.foldLeft(frames.head)((a, b) => broadcast(a).join(b, Seq("docId")))
+            else frames.reduce((a, b) => a.join(b, Seq("docId")))
+          val withShoulds = shoulds.foldLeft(conj) { case (acc, (c, i)) =>
+            acc.join(execWith(c.q, stats).select(col("docId"), col("score").as(s"s_$i")),
+              Seq("docId"), "left")
+          }
+          // sum in clause order (float-determinism invariant of BoolScorer)
+          val sumExpr = pos.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduce(_ + _)
+          withShoulds.select(col("docId"), sumExpr.as("score"))
+        } else {
+          val numMust = musts.size
+          val frames = pos.zipWithIndex.map { case (c, idx) =>
+            execWith(c.q, stats).select(
+              col("docId"), col("score"),
+              lit(if (c.occur == Occur.Must) 1 else 0).as("isMust"),
+              lit(idx).as("cid"))
+          }
+          var combined = frames.reduce(_ unionByName _)
+            .groupBy(col("docId"))
+            .agg(sum(col("score")).as("score"), sum(col("isMust")).as("mustHits"))
+          if (numMust > 0) combined = combined.filter(col("mustHits") === numMust)
+          combined.select(col("docId"), col("score"))
+        }
       if (neg.isEmpty) positive
       else {
         val negUnion = neg.map(c => execWith(c.q, stats).select(col("docId"))).reduce(_ union _)
@@ -330,4 +397,15 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       .select(col("docId")).distinct()
       .withColumn("score", lit(1.0))
   }
+}
+
+object Searcher {
+  /** Largest df for which a posting frame (or the ≤-that-many-row result
+    * accumulated from it) is broadcast into hash joins: ~100k rows of
+    * (docId, positions[], dl) stays well under Spark's broadcast limits
+    * while covering the "one rare term anchors the query" case that
+    * dominates real phrase/AND workloads. Above it the plan falls back to
+    * shuffle joins, which is the right call when every term is hot.
+    */
+  val BroadcastDfMax: Long = 100000L
 }

@@ -164,10 +164,13 @@ object IncrementalIndexer {
   private def promoteGeneration(stagedDir: String, liveDir: String, gen: String): Unit = {
     val live = Paths.get(liveDir)
     Files.createDirectories(live)
-    Files.list(live).forEach { p =>
+    // close the directory streams (fd leak per micro-batch otherwise —
+    // exactly the long-running lifecycle this code serves; ADVICE r2)
+    scala.util.Using.resource(Files.list(live))(_.forEach { p =>
       if (p.getFileName.toString.startsWith(s"$gen-")) Files.delete(p)
-    }
-    val parts = Files.list(Paths.get(stagedDir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    })
+    val parts = scala.util.Using.resource(Files.list(Paths.get(stagedDir)))(
+      _.toArray.map(_.asInstanceOf[java.nio.file.Path]))
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, live.resolve(f"$gen-$i%05d.parquet"),
