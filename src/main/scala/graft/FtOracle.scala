@@ -103,14 +103,20 @@ object FtOracle {
              |  GROUP BY p0.doc_id""".stripMargin
         } else {
           // Lucene sloppy weighting: each anchor contributes
-          // 1/(1+matchLength) at its minimal window (PhraseMatch.weightedFreq)
-          require(terms.length == 2, "oracle sloppy phrase supports 2 terms")
+          // 1/(1+matchLength) at its minimal window (PhraseMatch.weightedFreq:
+          // min over one ADJUSTED position adj_i = p_i − i per term, term 0
+          // pinned, of max(adj) − min(adj)) — rendered directly as a min
+          // over the cross product of the doc's positions, any n
+          val joins = (1 until terms.length).map { i =>
+            s"JOIN (SELECT doc_id, pos FROM tok WHERE term = '${terms(i)}') p$i ON p$i.doc_id = p0.doc_id"
+          }
+          val adj = terms.indices.map(i => if (i == 0) "p0.pos" else s"p$i.pos - $i")
+          val span = s"greatest(${adj.mkString(", ")}) - least(${adj.mkString(", ")})"
           s"""SELECT a.doc_id AS doc_id, sum(1.0 / (1.0 + a.ml))::DOUBLE AS pf
              |  FROM (
-             |    SELECT p0.doc_id AS doc_id, p0.pos AS pos, min(abs(p1.pos - p0.pos - 1)) AS ml
+             |    SELECT p0.doc_id AS doc_id, p0.pos AS pos, min($span) AS ml
              |    FROM (SELECT doc_id, pos FROM tok WHERE term = '${terms(0)}') p0
-             |    JOIN (SELECT doc_id, pos FROM tok WHERE term = '${terms(1)}') p1
-             |      ON p1.doc_id = p0.doc_id
+             |    ${joins.mkString("\n    ")}
              |    GROUP BY p0.doc_id, p0.pos
              |  ) a WHERE a.ml <= $slop
              |  GROUP BY a.doc_id""".stripMargin
@@ -206,6 +212,95 @@ object FtOracle {
        |fstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ftok GROUP BY doc_id, term),
        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)""".stripMargin
+
+  /** Multi-valued STRING field CTEs: each array element is one exact term
+    * (tf = equal-element count, dl = element count). The gate derives the
+    * array as `split(text, ' ')`, so the SQL splits the same way.
+    */
+  val wordCtes: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS term,
+      |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |),
+      |ftok AS (SELECT * FROM tok),
+      |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
+      |fstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ftok GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)""".stripMargin
+
+  /** Multi-valued TEXT field CTEs: values analyzed as one stream with
+    * continuing positions (Lucene position-increment gap 0) ≡ tokenizing
+    * the space-joined values. Gate array = [source, text].
+    */
+  val comboCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(source || ' ' || text), '[a-z0-9]+')) AS term,
+       |         unnest(generate_series(1, len(regexp_extract_all(lower(source || ' ' || text), '[a-z0-9]+')))) AS pos
+       |  FROM documents
+       |),
+       |ftok AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
+       |fstat AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ftok GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)""".stripMargin
+
+  /** Full highlight oracle (flips ft_highlight from rows-only to a hash
+    * gate): reproduces [[graft.query.Highlighter.fragments]] for n = 2
+    * fragments over the single-space-canonical corpus (EngineSpec asserts
+    * canonicality, so word offsets are exact cumulative sums). Fragment 1
+    * anchors at the first term hit, fragment 2 at the first hit past
+    * fragment 1's end; every in-fragment whole-word occurrence is
+    * <em>-wrapped; fragments join with " … " (the gate's concat_ws).
+    */
+  def highlight(shoulds: Seq[OClause], terms: Seq[String], k: Int, fragLen: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val termAlt = terms.mkString("|")
+    s"""WITH $baseCtes,
+       |ranked AS (${rankedBody(Nil, shoulds, Nil)}),
+       |top AS (SELECT r.doc_id, r.s, r.rank, d.text
+       |        FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= $k),
+       |words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos
+       |  FROM top
+       |),
+       |offs AS (
+       |  SELECT doc_id, w, wpos,
+       |         coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY wpos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |  FROM words
+       |),
+       |hits AS (SELECT doc_id, off, length(w)::BIGINT AS tlen FROM offs WHERE w IN ($termList)),
+       |f1 AS (
+       |  SELECT h.doc_id,
+       |         greatest(0, arg_min(h.off, h.off) - ($fragLen - arg_min(h.tlen, h.off)) // 2) AS s1
+       |  FROM hits h GROUP BY h.doc_id
+       |),
+       |f1e AS (SELECT f1.doc_id, f1.s1, least(length(t.text), f1.s1 + $fragLen) AS e1
+       |        FROM f1 JOIN top t USING (doc_id)),
+       |f2 AS (
+       |  SELECT h.doc_id,
+       |         greatest(0, arg_min(h.off, h.off) - ($fragLen - arg_min(h.tlen, h.off)) // 2) AS s2
+       |  FROM hits h JOIN f1e ON h.doc_id = f1e.doc_id AND h.off >= f1e.e1
+       |  GROUP BY h.doc_id
+       |),
+       |frags AS (
+       |  SELECT t.doc_id, t.s, t.rank,
+       |    regexp_replace(substr(t.text, f1e.s1 + 1, f1e.e1 - f1e.s1),
+       |      '\\b($termAlt)\\b', '<em>\\1</em>', 'g') AS frag1,
+       |    CASE WHEN f2.s2 IS NULL THEN NULL ELSE
+       |      regexp_replace(substr(t.text, f2.s2 + 1, least(length(t.text), f2.s2 + $fragLen) - f2.s2),
+       |        '\\b($termAlt)\\b', '<em>\\1</em>', 'g')
+       |    END AS frag2
+       |  FROM top t JOIN f1e ON t.doc_id = f1e.doc_id LEFT JOIN f2 ON t.doc_id = f2.doc_id
+       |)
+       |SELECT doc_id, round(s, 4) AS score_r,
+       |       frag1 || CASE WHEN frag2 IS NULL THEN '' ELSE ' … ' || frag2 END AS highlights
+       |FROM frags ORDER BY rank""".stripMargin
+  }
 
   /** comb CTE body with rank column. */
   private def rankedBody(musts: Seq[OClause], shoulds: Seq[OClause], nots: Seq[OClause]): String = {

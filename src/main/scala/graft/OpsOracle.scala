@@ -347,7 +347,7 @@ object OpsOracle {
       |       sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS tombstoned,
       |       sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS docs_after,
       |       0::BIGINT AS deleted_after
-      |FROM documents""".stripMargin
+      |FROM documents WHERE doc_id < 200""".stripMargin
 
   /** op_incremental: two appended generations fold (openMerged) to the same
     * doc_count / df as a batch build over the whole corpus.
@@ -355,7 +355,7 @@ object OpsOracle {
   val incremental: String =
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-       |  FROM documents
+       |  FROM documents WHERE doc_id < 200
        |),
        |f AS (SELECT * FROM tok WHERE term NOT IN ($stopList))
        |SELECT (SELECT count(DISTINCT doc_id) FROM f)::BIGINT AS doc_count,

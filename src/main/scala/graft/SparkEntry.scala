@@ -36,6 +36,9 @@ object SparkEntry {
     // sloppy phrases: ordered gap + re-ordered match (Lucene window semantics)
     "ft_phrase_slop" -> ((s, d) => Engine.topk(s, d, "\"merge batch\"~1")),
     "ft_phrase_slop_rev" -> ((s, d) => Engine.topk(s, d, "\"batch merge\"~2")),
+    // 3-term sloppy phrase — n-term window semantics cross-checked in SQL
+    // (ADVICE r2: the 2-term-only oracle left n≥3 sloppy spec-only)
+    "ft_phrase_slop3" -> ((s, d) => Engine.topk(s, d, "\"join small slow\"~2")),
     "ft_field_string" -> ((s, d) => Engine.topk(s, d, "lang:es AND dup")),
     "ft_field_only" -> ((s, d) => Engine.topk(s, d, "source:src3")),
     // §2.6 multi-term expansions (constant score)
@@ -79,6 +82,43 @@ object SparkEntry {
       val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
         Seq(FieldDef("default", "text", TextField(Analyzers.NGram()))))
       new Searcher(idx, SearchOptions(limit = 10)).search("sp")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // §2.3 per-query analyzer override (?analyzer=, DatabaseIndexer.java:477):
+    // whitespace-indexed corpus queried with the standard analyzer — "the"
+    // is a live index term but the override drops it at query time
+    "ft_analyzer_override" -> ((s, d) => {
+      import graft.index._
+      import graft.analysis.Analyzers
+      val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
+        Seq(FieldDef("default", "text", TextField(Analyzers.Whitespace))))
+      new Searcher(idx, SearchOptions(limit = 10, analyzer = Some("standard")))
+        .search("the merge")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // §2.2 multi-valued fields (reference folds repeated add()s,
+    // DatabaseIndexer.java:571-584): STRING array — each element an exact
+    // term, tf = equal-element count, dl = element count
+    "ft_multival_str" -> ((s, d) => {
+      import graft.index._
+      val docs = docsTable(s, d).withColumn("words", split(col("text"), " "))
+      val idx = IndexBuilder.build(docs, "doc_id", Seq(FieldDef("word", "words", StringField)))
+      new Searcher(idx, SearchOptions(limit = 10, defaultField = "word")).search("merge")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
+    // TEXT array — values analyzed as one stream, positions continuing
+    // across elements (gap 0), so a phrase can span the element boundary
+    "ft_multival_text" -> ((s, d) => {
+      import graft.index._
+      import graft.analysis.Analyzers
+      val docs = docsTable(s, d).withColumn("combo", array(col("source"), col("text")))
+      val idx = IndexBuilder.build(docs, "doc_id",
+        Seq(FieldDef("combo", "combo", TextField(Analyzers.Standard))))
+      new Searcher(idx, SearchOptions(limit = 10, defaultField = "combo"))
+        .search("\"src3 customer\"")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
           col("rank").cast("long").as("rank"))
     }),
@@ -181,7 +221,9 @@ object SparkEntry {
       import s.implicits._
       import graft.index.SegmentStore
       val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
-      val docs = docsTable(s, d)
+      // scoped fixture (VERDICT r2 #9): the gate measures the maintenance
+      // operators, not repeated full-index construction
+      val docs = docsTable(s, d).filter(col("doc_id") < 200)
       SegmentStore.build(docs, "doc_id", Engine.DocFields, dir, docsPerShard = 128)
       val before = SegmentStore.info(s, dir)
       val victims = docs.filter(col("doc_id") % 10 === 0)
@@ -200,7 +242,7 @@ object SparkEntry {
       import s.implicits._
       import graft.index.SegmentStore
       val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
-      val docs = docsTable(s, d)
+      val docs = docsTable(s, d).filter(col("doc_id") < 200) // scoped fixture
       graft.streaming.IncrementalIndexer.appendBatch(
         docs.filter(col("doc_id") % 2 === 0), 0L, dir, Seq("doc_id"), Engine.DocFields, 128)
       graft.streaming.IncrementalIndexer.appendBatch(
@@ -298,6 +340,7 @@ object SparkEntry {
     "ft_phrase3" -> topk(shoulds = Seq(OPhrase(Seq("join", "small", "slow")))),
     "ft_phrase_slop" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch"), slop = 1))),
     "ft_phrase_slop_rev" -> topk(shoulds = Seq(OPhrase(Seq("batch", "merge"), slop = 2))),
+    "ft_phrase_slop3" -> topk(shoulds = Seq(OPhrase(Seq("join", "small", "slow"), slop = 2))),
     "ft_field_string" -> topk(musts = Seq(OStringTerm("lang", "es"), OTerm("dup"))),
     "ft_field_only" -> topk(shoulds = Seq(OStringTerm("source", "src3"))),
     "ft_prefix" -> topk(shoulds = Seq(OTermPred("term LIKE 'sp%'"))),
@@ -315,6 +358,13 @@ object SparkEntry {
     "ft_index_boost" -> topk(musts = Seq(OStringTerm("lang", "es", boost = 2.5), OTerm("dup"))),
     "ft_ws_analyzer" -> topkWith(wsCtes, shoulds = Seq(OTerm("dup"))),
     "ft_ngram_analyzer" -> topkWith(ngramCtes, shoulds = Seq(OTerm("s"), OTerm("p"), OTerm("sp"))),
+    // override drops "the" at query time; stats stay the whitespace index's
+    "ft_analyzer_override" -> topkWith(wsCtes, shoulds = Seq(OTerm("merge"))),
+    "ft_multival_str" -> topkWith(wordCtes, shoulds = Seq(OTerm("merge"))),
+    "ft_multival_text" -> topkWith(comboCtes, shoulds = Seq(OPhrase(Seq("src3", "customer")))),
+    "ft_highlight" -> highlight(
+      shoulds = Seq(OTerm("spark"), OTerm("merge")),
+      terms = Seq("spark", "merge"), k = 5, fragLen = 60),
     "ft_paginate" -> topk(shoulds = Seq(OTerm("spark")), k = 5, skip = 5),
     "ft_sort" -> sortedBy(OTerm("dup"), "source", 10),
     "ft_include" -> withDocs(OTerm("dup"), 5),

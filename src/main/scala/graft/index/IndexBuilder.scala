@@ -81,16 +81,49 @@ object IndexBuilder {
     */
   val DlMarker = ""
 
-  /** One corpus scan emitting real postings AND dl marker rows. */
+  /** One corpus scan emitting real postings AND dl marker rows.
+    *
+    * Multi-valued sources (ArrayType columns): the reference folds repeated
+    * `add()`s of one field into a single multi-valued Lucene field whose
+    * positions continue across values (DatabaseIndexer.java:571-584,
+    * rhino/RhinoDocument.java:64-117; Lucene's default position-increment
+    * gap is 0). TEXT fields therefore analyze the values as one
+    * space-joined stream (done in the `select` — the hot tokenize loop is
+    * untouched); STRING fields index each element as an exact term with
+    * tf = equal-element count and dl = element count.
+    */
   def tokenizePostingsWithMarkers(docs: DataFrame, docIdCol: String, fields: Seq[FieldDef]): Dataset[Posting] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cols = col(docIdCol).cast(LongType) +: fields.map(f => col(f.source).cast(StringType))
+    val schema = docs.schema
+    def isArraySource(f: FieldDef): Boolean =
+      schema.fields.find(_.name == f.source).exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val arrayString: Set[Int] = fields.zipWithIndex.collect {
+      case (f, i) if f.kind == StringField && isArraySource(f) => i
+    }.toSet
+    val cols = col(docIdCol).cast(LongType) +: fields.zipWithIndex.map { case (f, i) =>
+      if (isArraySource(f)) {
+        val arr = col(f.source).cast(org.apache.spark.sql.types.ArrayType(StringType))
+        if (arrayString(i)) filter(arr, _.isNotNull)
+        else array_join(arr, " ") // null elements skipped, like null scalars
+      } else col(f.source).cast(StringType)
+    }
     val emptyPos = Array.empty[Int]
     docs.select(cols: _*).flatMap { row =>
       val docId = row.getLong(0)
       fields.iterator.zipWithIndex.flatMap { case (f, i) =>
         if (row.isNullAt(i + 1)) Iterator.empty
+        else if (arrayString(i)) {
+          val elems = row.getSeq[String](i + 1)
+          val m = elems.length
+          if (m == 0) Iterator.empty
+          else {
+            val byTerm = elems.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+            byTerm.iterator.map { case (term, occ) =>
+              Posting(f.indexField, term, docId, occ.length, occ.map(_._2).toArray, m)
+            } ++ Iterator(Posting(f.indexField, DlMarker, docId, m, emptyPos, m))
+          }
+        }
         else f.kind match {
           case TextField(analyzer) =>
             val toks = analyzer.tokens(row.getString(i + 1))

@@ -37,9 +37,15 @@ final class SegmentSearcher(
   private def isText(f: String): Boolean =
     si.fields.exists(fd => fd.indexField == f && fd.kind.isInstanceOf[TextField])
 
-  private def analyzerFor(f: String): graft.analysis.Analyzer =
-    si.fields.collectFirst { case FieldDef(`f`, _, TextField(a), _) => a }
-      .getOrElse(graft.analysis.Analyzers.Keyword)
+  /** Query-time analyzer: the field's spec analyzer, or the per-query
+    * `?analyzer=` override (reference DatabaseIndexer.java:477).
+    */
+  private def analyzerFor(f: String): graft.analysis.Analyzer = opts.analyzer match {
+    case Some(name) => graft.analysis.Analyzers.byName(name)
+    case None =>
+      si.fields.collectFirst { case FieldDef(`f`, _, TextField(a), _) => a }
+        .getOrElse(graft.analysis.Analyzers.Keyword)
+  }
 
   def parse(q: String): Query =
     QueryBind.bind(

@@ -63,4 +63,9 @@ final case class SearchOptions(
     includeFields: Seq[String] = Nil,
     allowLeadingWildcard: Boolean = false, // lucene.allowLeadingWildcard default
     highlights: Int = 0, // ?highlights=n fragments (DatabaseIndexer.java:469)
-    highlightLength: Int = 100) // ?highlight_length, min 18 in the reference
+    highlightLength: Int = 100, // ?highlight_length, min 18 in the reference
+    /** `?analyzer=` — overrides the query-TIME analyzer for TEXT fields
+      * (index-time analysis is fixed by the spec), by registry name —
+      * reference DatabaseIndexer.java:477, util/Analyzers.java:283-299.
+      */
+    analyzer: Option[String] = None)

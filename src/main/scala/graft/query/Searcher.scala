@@ -172,11 +172,18 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
 
   // ---------------- binding (query-time analysis) ----------------------
 
-  /** Analyze TEXT-field terms with the field's analyzer; stop words drop the
-    * clause (Lucene parser returns null). STRING fields match exactly.
+  /** Analyze TEXT-field terms with the field's analyzer — or the per-query
+    * `?analyzer=` override (reference DatabaseIndexer.java:477); stop words
+    * drop the clause (Lucene parser returns null). STRING fields match
+    * exactly.
     */
-  private def bind(q: Query): Query =
-    QueryBind.bind(q, index.isTextField, index.analyzerFor)
+  private def bind(q: Query): Query = {
+    val analyzerFor: String => graft.analysis.Analyzer = opts.analyzer match {
+      case Some(name) => _ => graft.analysis.Analyzers.byName(name)
+      case None => index.analyzerFor
+    }
+    QueryBind.bind(q, index.isTextField, analyzerFor)
+  }
 
   // ---------------- statistics -----------------------------------------
 

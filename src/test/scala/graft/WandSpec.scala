@@ -119,6 +119,27 @@ class WandSpec extends AnyFunSuite with GenSamples {
     }
   }
 
+  test("phrase block-max bound makes a hot phrase NON-essential under MAXSCORE (fewer decoded blocks)") {
+    // Rare term scores ≈ 1.58; phrase real score ≈ its new tf-derived bound
+    // ≈ 1.11 (every doc tf=1). The round-2 loose bound weight·(k1+1) = 2.2
+    // kept the phrase essential forever (full enumeration); the min-over-
+    // member-blocks bound drops below the threshold once the heap holds the
+    // rare docs, so the phrase cursors only advance() to candidates.
+    val hotA = (0L until 1000000L by 2L).map(d => Decoded(d, 1, 30, Array(0))).toVector
+    val hotB = (0L until 1000000L by 2L).map(d => Decoded(d, 1, 30, Array(1))).toVector
+    val rare = Vector(1L, 3L, 5L, 7L, 9L).map(d => Decoded(d, 5, 30, Array(0, 1, 2, 3, 4)))
+    val itA = new TermIterator(Codec.encode(hotA.iterator, avgdl))
+    val itB = new TermIterator(Codec.encode(hotB.iterator, avgdl))
+    val phrase = new PhraseScorer(IndexedSeq(itA, itB), 0, 1.0, avgdl)
+    val rareScorer = new TermScorer(new TermIterator(Codec.encode(rare.iterator, avgdl)), 1.0)
+      .withAvgdl(avgdl)
+    assert(phrase.maxScore < 1.2) // the tightened bound (loose bound was 2.2)
+    val got = maxscoreTopK(IndexedSeq[DocScorer](rareScorer, phrase), 5)
+    assert(got.map(_._1) === Seq(1L, 3L, 5L, 7L, 9L)) // rare docs outrank every phrase hit
+    val frac = (itA.decodedBlocks + itB.decodedBlocks).toDouble / (itA.totalBlocks + itB.totalBlocks)
+    assert(frac < 0.05, f"expected <5%% of phrase member blocks decoded, got ${frac * 100}%.1f%%")
+  }
+
   test("WAND actually skips blocks: rare term + hot term decodes a fraction of the hot postings") {
     // hot term: every 2nd doc over 2M ids (many blocks); rare term: 5 docs.
     // The rare term's high idf dominates: once the heap holds rare-doc
