@@ -87,12 +87,14 @@ object Bench {
     val dir = tempDir("idx")
     val (n, secs) = time {
       val turns = TranscriptGen.transcripts(spark, numConvs)
-      val withIds = DocIds.assign(turns.toDF(), Seq("conv_id", "turn_idx"), "docId")
-      SegmentStore.build(withIds, "docId", Fields, dir, docsPerShard = 1 << 14)
-      // turn count from the committed stats (no extra pass over the corpus)
-      import spark.implicits._
-      spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
-        .collect().map(_.docCount).max
+      val withIds = graft.index.Timing.timed("bench.assign") {
+        DocIds.assign(turns.toDF(), Seq("conv_id", "turn_idx"), "docId")
+      }
+      // build returns the indexed turn count off its own stats agg — no
+      // read-back pass
+      graft.index.Timing.timed("bench.build") {
+        SegmentStore.build(withIds, "docId", Fields, dir, docsPerShard = 1 << 14)
+      }
     }
     (n, secs, dir)
   }

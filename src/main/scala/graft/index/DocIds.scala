@@ -49,13 +49,13 @@ object DocIds {
     // when called per micro-batch from IncrementalIndexer (never unpersisted;
     // the returned DataFrame's lifetime is unknowable at this layer).
     val rdd = sorted.rdd
-    val counts: Array[(Int, Long)] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
+    val counts: Array[(Int, Long)] = Timing.timed("docids.count") {
+      rdd.mapPartitionsWithIndex { (pid, it) =>
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 }
         Iterator.single((pid, n))
-      }
-      .collect()
+      }.collect()
+    }
 
     val offsets = new Array[Long](parts)
     var acc = 0L

@@ -87,8 +87,18 @@ object SegmentStore {
       s"""{"stage": "$stage", "completedAtMs": ${System.currentTimeMillis()}, "metrics": $body}""")
   }
 
-  /** Staged, resumable build. `failAfterStage` is a test failpoint: throw
-    * after committing that stage (kill-between-stages test, SURVEY.md §5.2).
+  /** Staged, resumable build; returns the indexed doc count (max over
+    * fields). `failAfterStage` is a test failpoint: throw after committing
+    * that stage (kill-between-stages test, SURVEY.md §5.2).
+    *
+    * Serial-tax design (the N→4N scaling criterion measures exactly this):
+    * the whole build is 3 corpus-scale jobs — the docID/count pass the
+    * caller ran, ONE combined stats aggregation (field stats are the
+    * marker rows' own (field, term="") group of the same salted agg — no
+    * second cache scan), and ONE encode+write job whose per-partition
+    * lineage comes back through an accumulator instead of a read-back agg.
+    * avgdl and docCount flow driver-side in memory; parquet read-backs
+    * happen only on the (rare) resume path.
     */
   def build(
       docs: DataFrame,
@@ -96,15 +106,17 @@ object SegmentStore {
       fields: Seq[FieldDef],
       dir: String,
       docsPerShard: Long = 1L << 20,
-      failAfterStage: Option[String] = None): Unit = {
+      failAfterStage: Option[String] = None): Long = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     def failpoint(stage: String): Unit =
       if (failAfterStage.contains(stage)) throw new RuntimeException(s"failpoint after $stage")
 
-    if (!stageDone(dir, "spec")) writeSpec(spark, dir, fields)
-    if (!Files.exists(shardSpecPath(dir))) writeShardSpec(dir, docsPerShard)
+    Timing.timed("build.spec") {
+      if (!stageDone(dir, "spec")) writeSpec(spark, dir, fields)
+      if (!Files.exists(shardSpecPath(dir))) writeShardSpec(dir, docsPerShard)
+    }
     failpoint("spec")
 
     // Tokenize ONCE: both remaining stages aggregate the same cached
@@ -121,36 +133,65 @@ object SegmentStore {
     }
     lazy val postings = withMarkers.filter(_.term != IndexBuilder.DlMarker)
 
+    var fieldStatsMem: Option[Seq[FieldStats]] = None
     if (needStats) {
-      val ts = IndexBuilder.termStats(postings)
-      ts.write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-      IndexBuilder.fieldStatsFromMarkers(withMarkers)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
-      commitStage(dir, "stats", Map.empty)
+      Timing.timed("build.stats") {
+        // ONE salted aggregation over postings AND marker rows: the marker
+        // term's groups ARE the field stats (df = docCount, cf = Σdl), so
+        // avgdl costs no second pass and no read-back
+        val agg = IndexBuilder.termStats(withMarkers).persist()
+        agg.filter(_.term != IndexBuilder.DlMarker)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+        val fsRows = agg.filter(_.term == IndexBuilder.DlMarker).collect()
+          .map(ts => FieldStats(ts.field, ts.df, ts.cf.toDouble / ts.df)).toIndexedSeq
+        agg.unpersist(blocking = false)
+        spark.createDataset(fsRows)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
+        fieldStatsMem = Some(fsRows)
+        commitStage(dir, "stats",
+          Map("docCount" -> fsRows.map(_.docCount).maxOption.getOrElse(0L)))
+      }
     }
     failpoint("stats")
 
     if (needSegments) {
-      val avgdls = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
-        .collect().map(fs => fs.field -> fs.avgdl).toMap
-      val segments = encodeSegments(postings, avgdls, docsPerShard)
-      segments.write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
-      // lineage from the committed segment rows — one column-pruned agg over
-      // the metadata columns; global metrics derived from the lineage rows
-      // driver-side (no second scan)
-      val lineage = spark.read.parquet(s"$dir/segments")
-        .groupBy(col("pid"))
-        .agg(sum(col("df")).as("rowsIn"), count(lit(1)).as("rowsOut"), sum(col("bytes")).as("bytesOut"))
-        .select(lit("segments").as("stage"), col("pid"), col("rowsIn"), col("rowsOut"), col("bytesOut"))
-        .as[LineageRow]
-      val rows = lineage.collect()
-      spark.createDataset(rows.toIndexedSeq).write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage")
-      commitStage(dir, "segments",
-        Map("segmentRows" -> rows.map(_.rowsOut).sum, "postingBytes" -> rows.map(_.bytesOut).sum,
-          "postingsIn" -> rows.map(_.rowsIn).sum))
+      val fsRows = fieldStatsMem.getOrElse {
+        // resume path only: stats stage committed by an earlier run
+        spark.read.parquet(s"$dir/fieldstats").as[FieldStats].collect().toIndexedSeq
+      }
+      val avgdls = fsRows.map(fs => fs.field -> fs.avgdl).toMap
+      Timing.timed("build.encode") {
+        // per-partition lineage rides back on an accumulator — the round-2
+        // build re-read the committed segments for a metadata agg (a pure
+        // driver-synchronized second job)
+        val linAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
+        encodeSegments(postings, avgdls, docsPerShard, Some(linAcc))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
+        // dedupe by pid: a speculative/retried task may report twice; the
+        // rows are deterministic per partition so first-wins is exact
+        val rows = {
+          import scala.jdk.CollectionConverters._
+          linAcc.value.asScala.groupBy(_.pid).map(_._2.head).toIndexedSeq.sortBy(_.pid)
+        }
+        spark.createDataset(rows)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage")
+        commitStage(dir, "segments",
+          Map("segmentRows" -> rows.map(_.rowsOut).sum, "postingBytes" -> rows.map(_.bytesOut).sum,
+            "postingsIn" -> rows.map(_.rowsIn).sum))
+      }
     }
     if (needStats && needSegments) withMarkers.unpersist(blocking = false)
     failpoint("segments")
+    fieldStatsMem.map(_.map(_.docCount).maxOption.getOrElse(0L))
+      .orElse(stageMetric(dir, "stats", "docCount"))
+      .getOrElse(0L)
+  }
+
+  /** A committed stage's numeric metric from its checkpoint marker. */
+  def stageMetric(dir: String, stage: String, key: String): Option[Long] = {
+    val p = ckptPath(dir, stage)
+    if (!Files.exists(p)) None
+    else s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
   }
 
   /** Commit the index field spec (queryable name, source column, kind,
@@ -178,7 +219,8 @@ object SegmentStore {
   def encodeSegments(
       postings: Dataset[Posting],
       avgdls: Map[String, Double],
-      docsPerShard: Long): Dataset[SegmentRow] = {
+      docsPerShard: Long,
+      lineageAcc: Option[org.apache.spark.util.CollectionAccumulator[LineageRow]] = None): Dataset[SegmentRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val bcAvgdl = spark.sparkContext.broadcast(avgdls)
@@ -220,7 +262,32 @@ object SegmentStore {
         }
       }
     }
-    sortedRuns.mapPartitions(encodeFn)
+    lineageAcc match {
+      case None => sortedRuns.mapPartitions(encodeFn)
+      case Some(acc) =>
+        sortedRuns.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          val out = encodeFn(it)
+          new Iterator[SegmentRow] {
+            private var rowsIn = 0L
+            private var rowsOut = 0L
+            private var bytesOut = 0L
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h && rowsOut > 0) {
+                acc.add(LineageRow("segments", pid, rowsIn, rowsOut, bytesOut))
+                rowsOut = -1L // report once; empty partitions stay silent
+              }
+              h
+            }
+            def next(): SegmentRow = {
+              val r = out.next()
+              rowsIn += r.df; rowsOut += 1; bytesOut += r.bytes
+              r
+            }
+          }
+        }
+    }
   }
 
   /** Open an index whose `termstats`/`fieldstats`/`segments` hold several
