@@ -66,6 +66,9 @@ object Bench {
       // 4 waves of shuffle tasks per core: straggler smoothing — with one
       // partition per core any imbalance idles whole cores at stage tails
       .config("spark.sql.shuffle.partitions", (4 * cpus).toString)
+      // small columnar batches in the serving cache: batch-stat pruning
+      // granularity for per-term lookups (see SegmentIndex.cached)
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$scratchRoot/spark-local")
       .config("spark.ui.enabled", "false")
@@ -171,9 +174,13 @@ object Bench {
     val cpuList = s"$firstCpu-${firstCpu + cpus - 1}"
     // 24g heap: at 16g the 820k-turn build GC-thrashes (measured 7.5k vs
     // 19.5k turns/s on identical pinned 4-core runs) — heap must not be
-    // the variable the scaling ratio measures
+    // the variable the scaling ratio measures.
+    // ParallelGC: the executor-tuned choice — at the realistic 4-core
+    // executor size it beats G1 on this allocation-heavy build (23.7k vs
+    // 19.4k turns/s measured post-diet) and on query throughput at every
+    // core count; G1 comparison numbers are recorded in BASELINE.md.
     val cmd = Seq("taskset", "-c", cpuList,
-      java, s"-XX:ActiveProcessorCount=$cpus", "-Xmx24g") ++ jdk17AddOpens ++ Seq(
+      java, s"-XX:ActiveProcessorCount=$cpus", "-Xmx24g", "-XX:+UseParallelGC") ++ jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "child", cpus.toString, numConvs.toString, rounds.toString)

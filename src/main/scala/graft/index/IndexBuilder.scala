@@ -109,49 +109,55 @@ object IndexBuilder {
       } else col(f.source).cast(StringType)
     }
     val emptyPos = Array.empty[Int]
-    docs.select(cols: _*).flatMap { row =>
-      val docId = row.getLong(0)
-      fields.iterator.zipWithIndex.flatMap { case (f, i) =>
-        if (row.isNullAt(i + 1)) Iterator.empty
-        else if (arrayString(i)) {
-          val elems = row.getSeq[String](i + 1)
-          val m = elems.length
-          if (m == 0) Iterator.empty
-          else {
-            val byTerm = elems.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
-            byTerm.iterator.map { case (term, occ) =>
-              Posting(f.indexField, term, docId, occ.length, occ.map(_._2).toArray, m)
-            } ++ Iterator(Posting(f.indexField, DlMarker, docId, m, emptyPos, m))
-          }
-        }
-        else f.kind match {
-          case TextField(analyzer) =>
-            val toks = analyzer.tokens(row.getString(i + 1))
-            val dl = toks.length
-            if (dl == 0) Iterator.empty
+    docs.select(cols: _*).mapPartitions { rows =>
+      // one reusable (term, pos) buffer per partition: no Token objects, no
+      // ArrayBuffer growth, no TimSort scratch in the build's hottest loop
+      // (per-doc allocation was the 4-core scaling limiter — see
+      // analysis.TokenBuffer)
+      val buf = new graft.analysis.TokenBuffer(256)
+      rows.flatMap { row =>
+        val docId = row.getLong(0)
+        fields.iterator.zipWithIndex.flatMap { case (f, i) =>
+          if (row.isNullAt(i + 1)) Iterator.empty
+          else if (arrayString(i)) {
+            val elems = row.getSeq[String](i + 1)
+            val m = elems.length
+            if (m == 0) Iterator.empty
             else {
-              // sort-based run grouping (no per-doc HashMap churn — this is
-              // the hottest loop of the whole build)
-              val arr = toks.toArray
-              java.util.Arrays.sort(arr, IndexBuilder.TokenOrd)
-              val out = new ArrayBuffer[Posting](16)
-              var s = 0
-              while (s < arr.length) {
-                var e = s + 1
-                while (e < arr.length && arr(e).term == arr(s).term) e += 1
-                val positions = new Array[Int](e - s)
-                var j = s
-                while (j < e) { positions(j - s) = arr(j).pos; j += 1 }
-                out += Posting(f.indexField, arr(s).term, docId, e - s, positions, dl)
-                s = e
-              }
-              out += Posting(f.indexField, DlMarker, docId, dl, emptyPos, dl)
-              out.iterator
+              val byTerm = elems.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+              byTerm.iterator.map { case (term, occ) =>
+                Posting(f.indexField, term, docId, occ.length, occ.map(_._2).toArray, m)
+              } ++ Iterator(Posting(f.indexField, DlMarker, docId, m, emptyPos, m))
             }
-          case StringField =>
-            Iterator(
-              Posting(f.indexField, row.getString(i + 1), docId, 1, Array(0), 1),
-              Posting(f.indexField, DlMarker, docId, 1, emptyPos, 1))
+          }
+          else f.kind match {
+            case TextField(analyzer) =>
+              buf.clear()
+              analyzer.tokensInto(row.getString(i + 1), buf)
+              val dl = buf.len
+              if (dl == 0) Iterator.empty
+              else {
+                // sort-based run grouping (no per-doc HashMap churn)
+                buf.sort()
+                val terms = buf.terms
+                val poss = buf.poss
+                val out = new ArrayBuffer[Posting](16)
+                var s = 0
+                while (s < dl) {
+                  var e = s + 1
+                  while (e < dl && terms(e) == terms(s)) e += 1
+                  val positions = java.util.Arrays.copyOfRange(poss, s, e)
+                  out += Posting(f.indexField, terms(s), docId, e - s, positions, dl)
+                  s = e
+                }
+                out += Posting(f.indexField, DlMarker, docId, dl, emptyPos, dl)
+                out.iterator
+              }
+            case StringField =>
+              Iterator(
+                Posting(f.indexField, row.getString(i + 1), docId, 1, Array(0), 1),
+                Posting(f.indexField, DlMarker, docId, 1, emptyPos, 1))
+          }
         }
       }
     }
@@ -171,13 +177,6 @@ object IndexBuilder {
     withMarkers.filter(_.term == DlMarker).toDF()
       .groupBy($"field")
       .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
-  }
-
-  private object TokenOrd extends java.util.Comparator[graft.analysis.Token] {
-    def compare(a: graft.analysis.Token, b: graft.analysis.Token): Int = {
-      val c = a.term.compareTo(b.term)
-      if (c != 0) c else Integer.compare(a.pos, b.pos)
-    }
   }
 
   /** Salted two-phase term statistics: partial (term, salt) combine, then

@@ -509,7 +509,15 @@ final class SegmentIndex(
     */
   def cached(): SegmentIndex = {
     val parts = segments.sparkSession.sessionState.conf.numShufflePartitions
-    val aligned = segments.repartition(parts, org.apache.spark.sql.functions.col("shard"))
+    // sortWithinPartitions by (field, term): the columnar cache's per-batch
+    // min/max stats then give every query batch-level term pruning — a term
+    // query decompresses only the few batches whose [min,max] term range
+    // covers it, instead of scanning the whole cached index (the per-query
+    // bandwidth that capped query core-scaling). Keep batches small enough
+    // to prune (see Bench session conf inMemoryColumnarStorage.batchSize).
+    val aligned = segments
+      .repartition(parts, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("field", "term", "minDoc")
     val idx = new SegmentIndex(aligned, termStats, fieldStats, fields, docsPerShard, shardAligned = true)
     idx.segments.persist()
     idx.termStats.persist()
