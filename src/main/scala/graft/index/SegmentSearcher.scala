@@ -124,8 +124,19 @@ final class SegmentSearcher(
 
   // ---- distributed execution -------------------------------------------
 
+  /** Per-query-string plan memo (prepared-statement serving): a search
+    * tier's workload repeats query shapes, and Catalyst analysis +
+    * codegen of the (identical) serving plan was a fixed driver tax per
+    * request — the Lucene analog is reusing a Weight across searches.
+    * Actions on the memoized frame re-execute against the cached index,
+    * so results always reflect the current snapshot.
+    */
+  @transient private lazy val planCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** (docId, score) top-k DataFrame, ordered (score desc, docId asc). */
-  def search(q: String): DataFrame = searchInternal(q, None)
+  def search(q: String): DataFrame =
+    planCache.getOrElseUpdate(q, searchInternal(q, None))
 
   private def searchInternal(
       q: String,

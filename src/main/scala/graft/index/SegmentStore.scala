@@ -194,6 +194,48 @@ object SegmentStore {
     else s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
   }
 
+  /** Canonical digest of an index field spec — the identity the reference
+    * bakes into its index directory name (a changed view function ⇒ a new
+    * digest ⇒ a fresh index dir, DatabaseIndexer.java:343-348 /
+    * LuceneServlet cleanup). Pure function of the FieldDefs.
+    */
+  def specDigest(fields: Seq[FieldDef]): String = {
+    val canon = fields.map { f =>
+      val (kind, an) = f.kind match {
+        case TextField(a) => ("text", analyzerName(a))
+        case StringField => ("string", "")
+      }
+      s"${f.indexField}|${f.source}|$kind|$an|${f.boost}"
+    }.mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** True when `dir` holds a committed spec that differs from `fields` —
+    * the signal that the index must be rebuilt from scratch (the reference
+    * ends its changes loop on a design-doc change and starts a fresh
+    * digest-named dir).
+    */
+  def specChanged(spark: SparkSession, dir: String, fields: Seq[FieldDef]): Boolean =
+    stageDone(dir, "spec") && {
+      val current = open0Fields(spark, dir)
+      specDigest(current) != specDigest(fields)
+    }
+
+  private def open0Fields(spark: SparkSession, dir: String): Seq[FieldDef] = {
+    import spark.implicits._
+    val specDf = spark.read.parquet(s"$dir/spec")
+    (if (specDf.columns.contains("boost")) specDf else specDf.withColumn("boost", lit(1.0)))
+      .select("indexField", "source", "kind", "analyzer", "boost")
+      .as[(String, String, String, String, Double)].collect()
+      .map { case (idxF, src, kind, an, boost) =>
+        FieldDef(idxF, src, kind match {
+          case "text" => TextField(Analyzers.byName(an))
+          case "string" => StringField
+        }, boost)
+      }.toSeq
+  }
+
   /** Commit the index field spec (queryable name, source column, kind,
     * analyzer) — readable without the builder, so [[open]] reconstructs
     * analyzers. Shared by the batch build and the incremental appender.
@@ -466,17 +508,7 @@ object SegmentStore {
     import spark.implicits._
     // boost entered the spec in round 2 — a round-1 (4-column) dir still
     // opens, defaulting boost to 1.0 (ADVICE r2: no opaque encoder error)
-    val specDf = spark.read.parquet(s"$dir/spec")
-    val spec = (if (specDf.columns.contains("boost")) specDf
-                else specDf.withColumn("boost", lit(1.0)))
-      .select("indexField", "source", "kind", "analyzer", "boost")
-      .as[(String, String, String, String, Double)].collect()
-    val fields = spec.map { case (idxF, src, kind, an, boost) =>
-      FieldDef(idxF, src, kind match {
-        case "text" => TextField(Analyzers.byName(an))
-        case "string" => StringField
-      }, boost)
-    }.toSeq
+    val fields = open0Fields(spark, dir)
     val fieldStats = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap
     new SegmentIndex(
@@ -507,8 +539,15 @@ final class SegmentIndex(
     * query — the per-query exchange amortizes into index open, exactly
     * like Lucene opening per-segment readers up front.
     */
-  def cached(): SegmentIndex = {
-    val parts = segments.sparkSession.sessionState.conf.numShufflePartitions
+  /** Serving partition count defaults to the INDEX's shape (one partition
+    * per ~4 shards, capped), not the querying session's shuffle conf: a
+    * query job must cost the same task count regardless of how many cores
+    * the session happens to have — per-query work scales with data, task
+    * overhead does not (at 4×cpus partitions a 4-core tier paid 4× the
+    * per-query scheduling of a 1-core tier for identical work).
+    */
+  def cached(servingPartitions: Int = 16): SegmentIndex = {
+    val parts = servingPartitions
     // sortWithinPartitions by (field, term): the columnar cache's per-batch
     // min/max stats then give every query batch-level term pruning — a term
     // query decompresses only the few batches whose [min,max] term range

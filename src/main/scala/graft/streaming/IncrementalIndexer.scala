@@ -190,9 +190,28 @@ object IncrementalIndexer {
   }
 
 
+  /** Re-index on spec change (reference: a design-doc edit ends the changes
+    * loop and indexing restarts into a fresh digest-named dir,
+    * DatabaseIndexer.java:343-348): when `dir` holds an index built under a
+    * DIFFERENT field spec, wipe it — index data, key map, tombstones, AND
+    * the stream checkpoint, so a restarted stream replays the source from
+    * the beginning under the new spec. No-op when the spec is unchanged.
+    * Returns true when a rebuild was triggered.
+    */
+  def reindexOnSpecChange(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      fields: Seq[FieldDef]): Boolean = {
+    val changed = SegmentStore.specChanged(spark, dir, fields)
+    if (changed) SegmentStore.deleteRecursively(dir)
+    changed
+  }
+
   /** Run a streaming query that maintains the index over a parquet-directory
     * stream of new transcript files. `foreachBatch` is the commit point —
     * the reference's `maybeCommit` every-15s cadence maps to the trigger.
+    * A spec change wipes the index + checkpoint first, so the stream
+    * rebuilds from the source's beginning under the new spec.
     */
   def start(
       sparkStreamSourceDir: String,
@@ -202,6 +221,7 @@ object IncrementalIndexer {
       schema: org.apache.spark.sql.types.StructType,
       orderCols: Seq[String],
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    reindexOnSpecChange(spark, dir, fields)
     spark.readStream
       .schema(schema)
       .parquet(sparkStreamSourceDir)

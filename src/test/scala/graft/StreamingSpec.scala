@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("spec change triggers a from-scratch re-index (reference design-doc change semantics)") {
+    val dir = Files.createTempDirectory("graft-respec").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    // same spec → no-op (generations, meta intact)
+    assert(!IncrementalIndexer.reindexOnSpecChange(spark, dir, fields))
+    assert(IncrementalIndexer.readMeta(dir).lastBatch === 0L)
+    // changed spec (whitespace analyzer instead of standard) → full wipe
+    val changed = fields.map {
+      case FieldDef(n, s, TextField(_), b) => FieldDef(n, s, TextField(graft.analysis.Analyzers.Whitespace), b)
+      case other => other
+    }
+    assert(IncrementalIndexer.reindexOnSpecChange(spark, dir, changed))
+    assert(!Files.exists(java.nio.file.Paths.get(dir))) // index + checkpoints gone
+    // rebuild under the new spec: "the" is a live term only under whitespace
+    IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), changed, 257)
+    val idx = SegmentStore.openMerged(spark, dir)
+    assert(topK(idx, "the").nonEmpty)
+    assert(SegmentStore.specDigest(SegmentStore.open(spark, dir).fields) === SegmentStore.specDigest(changed))
+  }
+
   test("MERGE upsert by key: superseded versions tombstoned, new text queryable") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val base = turnsDF(0, 60)
