@@ -227,7 +227,12 @@ object Analyzers {
     */
   object Whitespace extends Analyzer {
     def tokens(text: String): IndexedSeq[Token] = {
-      val out = new ArrayBuffer[Token]()
+      val buf = new TokenBuffer(64)
+      tokensInto(text, buf)
+      (0 until buf.len).map(i => Token(buf.terms(i), buf.poss(i)))
+    }
+
+    override def tokensInto(text: String, out: TokenBuffer): Unit = {
       var pos = 0
       var i = 0
       val n = text.length
@@ -235,11 +240,10 @@ object Analyzers {
         if (!Character.isWhitespace(text.charAt(i))) {
           val start = i
           while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-          out += Token(text.substring(start, i), pos)
+          out.add(text.substring(start, i), pos)
           pos += 1
         } else i += 1
       }
-      out.toIndexedSeq
     }
   }
 

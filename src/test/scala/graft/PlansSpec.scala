@@ -39,6 +39,21 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("phrase plan: rarest-first broadcast hash joins, no posting shuffle (VERDICT r2 #2)") {
+    val s = new Searcher(Engine.documentsIndex(spark, sfDir), SearchOptions(limit = 10))
+    val plan = planOf(s.scored("\"merge batch\""))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the join chain must not shuffle the posting frames on docId
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("MUST-conjunction plan: broadcast hash join, not union+groupBy shuffle") {
+    val s = new Searcher(Engine.documentsIndex(spark, sfDir), SearchOptions(limit = 10))
+    val plan = planOf(s.scored("spark AND merge"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("rel_join broadcasts the dimension side") {
     val plan = planOf(SparkEntry.queries("rel_join")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
