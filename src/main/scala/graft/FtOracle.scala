@@ -183,7 +183,7 @@ object FtOracle {
       |  SELECT doc_id,
       |         unnest(regexp_extract_all(text, '\S+')) AS term,
       |         unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) AS pos
-      |  FROM documents
+      |  FROM documents WHERE doc_id < 200
       |),
       |ftok AS (SELECT * FROM tok),
       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
@@ -199,7 +199,7 @@ object FtOracle {
        |  SELECT doc_id,
        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
        |         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
-       |  FROM documents
+       |  FROM documents WHERE doc_id < 200
        |),
        |stok AS (SELECT * FROM tok0 WHERE term NOT IN ($stopList)),
        |gl AS (SELECT doc_id, term, pos, unnest(generate_series(1, 2)) AS g FROM stok),
@@ -222,7 +222,7 @@ object FtOracle {
       |  SELECT doc_id,
       |         unnest(string_split(text, ' ')) AS term,
       |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-      |  FROM documents
+      |  FROM documents WHERE doc_id < 200
       |),
       |ftok AS (SELECT * FROM tok),
       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),
@@ -239,7 +239,7 @@ object FtOracle {
        |  SELECT doc_id,
        |         unnest(regexp_extract_all(lower(source || ' ' || text), '[a-z0-9]+')) AS term,
        |         unnest(generate_series(1, len(regexp_extract_all(lower(source || ' ' || text), '[a-z0-9]+')))) AS pos
-       |  FROM documents
+       |  FROM documents WHERE doc_id < 200
        |),
        |ftok AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
        |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ftok GROUP BY doc_id),

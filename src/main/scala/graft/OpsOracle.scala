@@ -259,6 +259,37 @@ object OpsOracle {
        |SELECT a AS vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
        |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
 
+  /** nprobe IVF: candidates from the query's `nprobe` L2-nearest cells. */
+  def annIvfNprobe(queryId: Long = 42, k: Int = 10, nCentroids: Int = 8, nprobe: Int = 3): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $nCentroids),
+       |du AS (SELECT e.vec_id AS vid, c.cid AS cid, unnest(e.embedding) AS x, unnest(c.ce) AS y
+       |       FROM embeddings e, cent c),
+       |dd AS (SELECT vid, cid, sum((x::DOUBLE - y::DOUBLE) * (x::DOUBLE - y::DOUBLE)) AS dist
+       |       FROM du GROUP BY vid, cid),
+       |assign AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY dist ASC, cid ASC) AS rn FROM dd
+       |  ) WHERE rn = 1
+       |),
+       |qcells AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY dist ASC, cid ASC) AS rn FROM dd WHERE vid = $queryId
+       |  ) WHERE rn <= $nprobe
+       |),
+       |cell AS (
+       |  SELECT e.vec_id AS a, e.embedding AS ea
+       |  FROM embeddings e JOIN assign av ON av.vid = e.vec_id
+       |  JOIN qcells qc ON av.cid = qc.cid
+       |  WHERE e.vec_id <> $queryId
+       |),
+       |${cosineFrom(
+      s"""p AS (
+         |  SELECT cell.a AS a, $queryId AS b, cell.ea AS ea, q.embedding AS eb
+         |  FROM cell, (SELECT embedding FROM embeddings WHERE vec_id = $queryId) q
+         |)""".stripMargin).stripPrefix("WITH ")}
+       |SELECT a AS vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_r
+       |FROM d ORDER BY cos_r DESC, vec_id ASC LIMIT $k""".stripMargin
+
   // ---- text analysis ----------------------------------------------------
 
   val langId: String =

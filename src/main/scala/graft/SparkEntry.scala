@@ -70,7 +70,7 @@ object SparkEntry {
     "ft_ws_analyzer" -> ((s, d) => {
       import graft.index._
       import graft.analysis.Analyzers
-      val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
+      val idx = IndexBuilder.build(docsTable(s, d).filter(col("doc_id") < 200), "doc_id",
         Seq(FieldDef("default", "text", TextField(Analyzers.Whitespace))))
       new Searcher(idx, SearchOptions(limit = 10)).search("dup")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
@@ -79,7 +79,7 @@ object SparkEntry {
     "ft_ngram_analyzer" -> ((s, d) => {
       import graft.index._
       import graft.analysis.Analyzers
-      val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
+      val idx = IndexBuilder.build(docsTable(s, d).filter(col("doc_id") < 200), "doc_id",
         Seq(FieldDef("default", "text", TextField(Analyzers.NGram()))))
       new Searcher(idx, SearchOptions(limit = 10)).search("sp")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
@@ -91,7 +91,7 @@ object SparkEntry {
     "ft_analyzer_override" -> ((s, d) => {
       import graft.index._
       import graft.analysis.Analyzers
-      val idx = IndexBuilder.build(docsTable(s, d), "doc_id",
+      val idx = IndexBuilder.build(docsTable(s, d).filter(col("doc_id") < 200), "doc_id",
         Seq(FieldDef("default", "text", TextField(Analyzers.Whitespace))))
       new Searcher(idx, SearchOptions(limit = 10, analyzer = Some("standard")))
         .search("the merge")
@@ -103,7 +103,8 @@ object SparkEntry {
     // term, tf = equal-element count, dl = element count
     "ft_multival_str" -> ((s, d) => {
       import graft.index._
-      val docs = docsTable(s, d).withColumn("words", split(col("text"), " "))
+      val docs = docsTable(s, d).filter(col("doc_id") < 200)
+        .withColumn("words", split(col("text"), " "))
       val idx = IndexBuilder.build(docs, "doc_id", Seq(FieldDef("word", "words", StringField)))
       new Searcher(idx, SearchOptions(limit = 10, defaultField = "word")).search("merge")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
@@ -114,7 +115,8 @@ object SparkEntry {
     "ft_multival_text" -> ((s, d) => {
       import graft.index._
       import graft.analysis.Analyzers
-      val docs = docsTable(s, d).withColumn("combo", array(col("source"), col("text")))
+      val docs = docsTable(s, d).filter(col("doc_id") < 200)
+        .withColumn("combo", array(col("source"), col("text")))
       val idx = IndexBuilder.build(docs, "doc_id",
         Seq(FieldDef("combo", "combo", TextField(Analyzers.Standard))))
       new Searcher(idx, SearchOptions(limit = 10, defaultField = "combo"))
@@ -266,6 +268,7 @@ object SparkEntry {
     "op_ann_ivf" -> ((s, d) => graft.ops.Similarity.ivfTopK(embTable(s, d), "vec_id", "embedding", 42)),
     "op_ann_multiprobe" -> ((s, d) => graft.ops.Similarity.multiProbeTopK(embTable(s, d), "vec_id", "embedding", 0)),
     "op_ann_ivf_trained" -> ((s, d) => graft.ops.Similarity.ivfTrainedTopK(embTable(s, d), "vec_id", "embedding", 42)),
+    "op_ann_ivf_nprobe" -> ((s, d) => graft.ops.Similarity.ivfProbeTopK(embTable(s, d), "vec_id", "embedding", 42)),
     // training-data pipeline: text analysis
     "op_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(docsTable(s, d), "doc_id", "text")),
     "op_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(docsTable(s, d), "doc_id", "text")),
@@ -402,6 +405,7 @@ object SparkEntry {
     "op_ann_ivf" -> OpsOracle.annIvf(),
     "op_ann_multiprobe" -> OpsOracle.annMultiprobe(),
     "op_ann_ivf_trained" -> OpsOracle.annIvfTrained(),
+    "op_ann_ivf_nprobe" -> OpsOracle.annIvfNprobe(),
     "op_langid" -> OpsOracle.langId,
     "op_quality" -> OpsOracle.quality,
     "op_tokens" -> OpsOracle.tokenCounts,

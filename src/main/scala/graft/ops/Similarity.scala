@@ -106,6 +106,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with multi-cell probe — the recall/latency knob every production
+    * IVF index exposes (nprobe): candidates come from the query vector's
+    * `nprobe` L2-nearest cells instead of only its own. At cluster scale
+    * cells are partition keys, so the probe reads `nprobe` partitions; the
+    * cell ranking is driver-free (a tiny broadcast of ≤ nprobe cids).
+    */
+  def ivfProbeTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int = 10, nCentroids: Int = 8, nprobe: Int = 3): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val cent = e.filter(col("vid") < nCentroids)
+      .select(col("vid").as("cid"), col("v").as("ce"))
+    val assign = assignCells(e, cent)
+    val q = broadcast(e.filter(col("vid") === queryId).select(col("v").as("qvec")))
+    val qcells = broadcast(cent.crossJoin(q)
+      .select(col("cid"), l2sq(col("qvec"), col("ce")).as("dist"))
+      .orderBy(col("dist").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid")))
+    assign.join(qcells, Seq("cid"), "left_semi")
+      .filter(col("vid") =!= queryId)
+      .crossJoin(q)
+      .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** One Lloyd assignment pass: each vector to its L2-nearest centroid
     * (ties → lowest cid). `cent` must be small (broadcast).
     *
