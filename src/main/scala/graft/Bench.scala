@@ -126,17 +126,15 @@ object Bench {
     Engine.clearCaches()
     val spark = session(cpus)
     try {
-      // BEST-OF-TWO builds: external host load is ASYMMETRIC noise — a
-      // neighbor's bandwidth burst cuts the wide (4-core) child's build by
-      // up to 35% while the 1-core child barely moves, so concurrent
-      // pairing cannot cancel it in the ratio (measured pair efficiencies
-      // of 0.46-0.88 for identical code across one loud hour). A transient
-      // burst misses one of two back-to-back build windows; taking the
-      // better sample on BOTH sides symmetrically estimates each tier's
-      // uncontended capacity — which is what the N→4N criterion is about.
-      val (t1, s1, _) = buildBench(spark, numConvs)
-      val (t2, s2, dir) = buildBench(spark, numConvs)
-      val tps = math.max(t1 / s1, t2 / s2)
+      // ONE measured build per fresh JVM after the 1/8-size JIT warmup —
+      // the realistic protocol (a production build job runs once per
+      // spark-submit; BASELINE.md round-2 table). A best-of-two variant
+      // was probed and is documented in BASELINE.md round 3: it surfaces
+      // higher absolute capacities on both sides (second-build JIT
+      // maturity + dodging load bursts) but over-warms relative to any
+      // real deployment, so the graded number stays single-sample.
+      val (turns, buildSecs, dir) = buildBench(spark, numConvs)
+      val tps = turns / buildSecs
       // serving-tier sizing: two clients per core at every level — the
       // offered load saturates each tier equally (Little's law), so the
       // qps ratio measures capacity; a fixed client count would thrash the
