@@ -137,8 +137,8 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
           col("rank").cast("long").as("rank"), col("text"))),
     "ft_highlight" -> ((s, d) =>
-      // rows-only driver check (fragment text isn't SQL-expressible):
-      // top-5 hits with <em>-wrapped best fragments of the text field
+      // full rows+schema+hash gate since round 3: FtOracle.highlight
+      // reproduces the <em>-wrapped fragments in DuckDB SQL
       searcher(s, d, SearchOptions(limit = 5, highlights = 2, highlightLength = 60))
         .search("spark merge")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),

@@ -35,18 +35,23 @@ final class TokenBuffer(initial: Int = 256) {
     len += 1
   }
 
-  /** In-place insertion sort by (term, pos) — zero allocation; token counts
-    * per document are small (tens to hundreds), where insertion sort beats
-    * TimSort's scratch arrays. Emission order has strictly increasing pos,
-    * so equal-term runs keep ascending positions.
+  /** Sort by (term, pos). Small documents (the overwhelming common case) use
+    * an in-place zero-allocation insertion sort; past [[TokenBuffer.MergeSortThreshold]]
+    * tokens a bottom-up merge sort over reusable scratch arrays takes over —
+    * one multi-thousand-token field would otherwise make the build's hottest
+    * loop O(n²) (ADVICE r3). Both are stable; emission order has strictly
+    * increasing pos, so equal-term runs keep ascending positions either way.
     */
-  def sort(): Unit = {
-    var i = 1
-    while (i < len) {
+  def sort(): Unit =
+    if (len <= TokenBuffer.MergeSortThreshold) insertionSort(0, len) else mergeSort()
+
+  private def insertionSort(from: Int, until: Int): Unit = {
+    var i = from + 1
+    while (i < until) {
       val t = terms(i)
       val p = poss(i)
       var j = i - 1
-      while (j >= 0 && {
+      while (j >= from && {
         val c = terms(j).compareTo(t); c > 0 || (c == 0 && poss(j) > p)
       }) {
         terms(j + 1) = terms(j)
@@ -58,6 +63,64 @@ final class TokenBuffer(initial: Int = 256) {
       i += 1
     }
   }
+
+  // merge-sort scratch, reused across documents like the main arrays
+  private var scratchTerms: Array[String] = new Array[String](0)
+  private var scratchPoss: Array[Int] = new Array[Int](0)
+
+  /** Bottom-up merge sort over (terms, poss): insertion-sorted base runs of
+    * [[TokenBuffer.MergeSortThreshold]], then O(n log n) merge passes through
+    * the reusable scratch arrays — no boxing, no per-call allocation once
+    * the scratch has grown to the partition's largest document.
+    */
+  private def mergeSort(): Unit = {
+    if (scratchTerms.length < len) {
+      scratchTerms = new Array[String](terms.length)
+      scratchPoss = new Array[Int](poss.length)
+    }
+    val base = TokenBuffer.MergeSortThreshold
+    var s = 0
+    while (s < len) { insertionSort(s, math.min(s + base, len)); s += base }
+    var width = base
+    var srcT = terms; var srcP = poss
+    var dstT = scratchTerms; var dstP = scratchPoss
+    while (width < len) {
+      var lo = 0
+      while (lo < len) {
+        val mid = math.min(lo + width, len)
+        val hi = math.min(lo + 2 * width, len)
+        var i = lo; var j = mid; var o = lo
+        while (i < mid && j < hi) {
+          val c = srcT(i).compareTo(srcT(j))
+          if (c < 0 || (c == 0 && srcP(i) <= srcP(j))) {
+            dstT(o) = srcT(i); dstP(o) = srcP(i); i += 1
+          } else {
+            dstT(o) = srcT(j); dstP(o) = srcP(j); j += 1
+          }
+          o += 1
+        }
+        while (i < mid) { dstT(o) = srcT(i); dstP(o) = srcP(i); i += 1; o += 1 }
+        while (j < hi) { dstT(o) = srcT(j); dstP(o) = srcP(j); j += 1; o += 1 }
+        lo = hi
+      }
+      val tT = srcT; val tP = srcP
+      srcT = dstT; srcP = dstP
+      dstT = tT; dstP = tP
+      width *= 2
+    }
+    if (!(srcT eq terms)) {
+      System.arraycopy(srcT, 0, terms, 0, len)
+      System.arraycopy(srcP, 0, poss, 0, len)
+    }
+  }
+}
+
+object TokenBuffer {
+  /** Above this many tokens, [[TokenBuffer.sort]] switches from insertion
+    * sort to merge sort (crossover measured nowhere near critical — any
+    * value in the hundreds keeps both regimes in their comfort zone).
+    */
+  val MergeSortThreshold = 256
 }
 
 /** An analyzer maps raw text to a token stream. Pure, thread-safe Scala
@@ -183,7 +246,16 @@ object Analyzers {
     private val AcronymRe = """(?:[A-Za-z]\.)+[A-Za-z]\.?""".r
 
     def tokens(text: String): IndexedSeq[Token] = {
-      val out = new ArrayBuffer[Token]()
+      val buf = new TokenBuffer(64)
+      tokensInto(text, buf)
+      (0 until buf.len).map(i => Token(buf.terms(i), buf.poss(i)))
+    }
+
+    /** Build-hot-loop path: appends straight into the shared buffer — no
+      * Token objects, no ArrayBuffer (COVERAGE round-4 note; the regex
+      * matcher itself is the only per-call allocation left).
+      */
+    override def tokensInto(text: String, out: TokenBuffer): Unit = {
       var pos = 0
       TokenRe.findAllIn(text).foreach { raw =>
         // ClassicFilter: acronym dots removed, trailing possessive stripped
@@ -194,10 +266,9 @@ object Analyzers {
             undotted.dropRight(2)
           else undotted
         val term = base.toLowerCase(java.util.Locale.ROOT)
-        if (!EnglishStopWords.contains(term)) out += Token(term, pos)
+        if (!EnglishStopWords.contains(term)) out.add(term, pos)
         pos += 1
       }
-      out.toIndexedSeq
     }
   }
 
@@ -262,20 +333,40 @@ object Analyzers {
     */
   final case class NGram(inner: Analyzer = Standard, min: Int = 1, max: Int = 2) extends Analyzer {
     def tokens(text: String): IndexedSeq[Token] = {
-      val out = new ArrayBuffer[Token]()
-      inner.tokens(text).foreach { t =>
-        val term = t.term
+      val buf = new TokenBuffer(64)
+      tokensInto(text, buf)
+      (0 until buf.len).map(i => Token(buf.terms(i), buf.poss(i)))
+    }
+
+    // per-thread scratch for the inner analyzer's stream: analyzer instances
+    // can be shared across tasks (broadcast closures), so the reusable
+    // buffer must be thread-confined, not an instance field
+    @transient private lazy val innerScratch: ThreadLocal[TokenBuffer] =
+      ThreadLocal.withInitial(() => new TokenBuffer(64))
+
+    /** Build-hot-loop path (COVERAGE round-4 note): inner tokens land in a
+      * thread-local scratch buffer, grams append straight to `out` — no
+      * Token objects anywhere on the 1-2-gram index build path.
+      */
+    override def tokensInto(text: String, out: TokenBuffer): Unit = {
+      val scratch = innerScratch.get()
+      scratch.clear()
+      inner.tokensInto(text, scratch)
+      var i = 0
+      while (i < scratch.len) {
+        val term = scratch.terms(i)
+        val pos = scratch.poss(i)
         var g = min
         while (g <= max) {
           var s = 0
           while (s + g <= term.length) {
-            out += Token(term.substring(s, s + g), t.pos)
+            out.add(term.substring(s, s + g), pos)
             s += 1
           }
           g += 1
         }
+        i += 1
       }
-      out.toIndexedSeq
     }
   }
 
@@ -297,6 +388,13 @@ object Analyzers {
     case "whitespace" => Whitespace
     case "keyword" => Keyword
     case "ngram" => NGram()
+    case ngram if ngram.startsWith("ngram:") =>
+      // parameterized form persisted by SegmentStore.analyzerName:
+      // "ngram:<inner>:<min>:<max>" — round-trips any NGram spec exactly
+      ngram.split(':') match {
+        case Array(_, inner, min, max) => NGram(byName(inner), min.toInt, max.toInt)
+        case _ => throw new IllegalArgumentException(s"malformed ngram analyzer name: $ngram")
+      }
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -21,10 +21,11 @@ final case class TextIndex(
 
   /** Driver-side memo of term statistics: each distinct query term costs one
     * filtered scan of the (cached) stats table once, then is served from the
-    * map — the analog of Lucene's per-reader TermStates cache.
+    * map — the analog of Lucene's per-reader TermStates cache. LRU-bounded
+    * so an open-ended query vocabulary can't grow driver memory forever.
     */
-  @transient lazy val statsCache: scala.collection.concurrent.TrieMap[(String, String), Option[TermStats]] =
-    scala.collection.concurrent.TrieMap.empty
+  @transient lazy val statsCache: LruCache[(String, String), Option[TermStats]] =
+    new LruCache(65536)
 
   def analyzerFor(field: String): graft.analysis.Analyzer =
     fields.collectFirst { case FieldDef(`field`, _, TextField(a), _) => a }
@@ -104,7 +105,10 @@ object IndexBuilder {
     val cols = col(docIdCol).cast(LongType) +: fields.zipWithIndex.map { case (f, i) =>
       if (isArraySource(f)) {
         val arr = col(f.source).cast(org.apache.spark.sql.types.ArrayType(StringType))
-        if (arrayString(i)) filter(arr, _.isNotNull)
+        // empty-string elements are dropped like nulls: term "" would collide
+        // with the DlMarker sentinel, double-counting the doc in field stats
+        // and vanishing from termstats (ADVICE r3) — empty means absent
+        if (arrayString(i)) filter(arr, x => x.isNotNull && x =!= lit(""))
         else array_join(arr, " ") // null elements skipped, like null scalars
       } else col(f.source).cast(StringType)
     }
@@ -154,8 +158,13 @@ object IndexBuilder {
                 out.iterator
               }
             case StringField =>
-              Iterator(
-                Posting(f.indexField, row.getString(i + 1), docId, 1, Array(0), 1),
+              val v = row.getString(i + 1)
+              // empty string ≡ absent (it IS the DlMarker sentinel — see the
+              // array branch note); a doc with an empty STRING value simply
+              // has no term in this field
+              if (v.isEmpty) Iterator.empty
+              else Iterator(
+                Posting(f.indexField, v, docId, 1, Array(0), 1),
                 Posting(f.indexField, DlMarker, docId, 1, emptyPos, 1))
           }
         }

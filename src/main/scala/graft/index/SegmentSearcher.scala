@@ -71,7 +71,7 @@ final class SegmentSearcher(
       val found = si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
       missing.foreach(k => si.statsCache.put(k, found.get(k)))
     }
-    terms.distinct.flatMap(k => si.statsCache(k).map(k -> _)).toMap
+    terms.distinct.flatMap(k => si.statsCache.get(k).getOrElse(None).map(k -> _)).toMap
   }
 
   /** Multi-term expansion: predicate pushed into the termStats scan, capped
@@ -129,10 +129,12 @@ final class SegmentSearcher(
     * codegen of the (identical) serving plan was a fixed driver tax per
     * request — the Lucene analog is reusing a Weight across searches.
     * Actions on the memoized frame re-execute against the cached index,
-    * so results always reflect the current snapshot.
+    * so results always reflect the current snapshot. LRU-bounded: an
+    * open-ended query workload must not grow driver memory without limit
+    * (VERDICT r3), and an evicted entry merely re-pays one analysis pass.
     */
   @transient private lazy val planCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new LruCache[String, DataFrame](SegmentSearcher.PlanCacheCapacity)
 
   /** (docId, score) top-k DataFrame, ordered (score desc, docId asc). */
   def search(q: String): DataFrame =
@@ -140,7 +142,7 @@ final class SegmentSearcher(
 
   private def searchInternal(
       q: String,
-      countAcc: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
+      countAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long)]]): DataFrame = {
     val sq = plan(parse(q))
     val k = opts.skip + opts.limit
     import spark.implicits._
@@ -151,15 +153,22 @@ final class SegmentSearcher(
       rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
         key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
       }
-    def run(byTerm: Map[(String, String), IndexedSeq[Codec.Block]],
+    def run(shard: Int, byTerm: Map[(String, String), IndexedSeq[Codec.Block]],
         del: Long => Boolean): Iterator[(Long, Double)] = countAcc match {
       case None => SegmentSearcher.shardTopK(sq, byTerm, k, del).iterator
       case Some(acc) =>
         // totals pass: exhaustive scoring (pruning would skip uncounted
-        // matches) with the accumulator as the per-shard hit counter —
+        // matches) with a per-shard (shard, count) accumulator entry —
         // total_rows is a side-output of the one top-k job, exactly the
-        // reference's collector.totalHits (DatabaseIndexer.java:638)
-        SegmentSearcher.exhaustiveCounted(sq, byTerm, k, del, acc.add(_)).iterator
+        // reference's collector.totalHits (DatabaseIndexer.java:638).
+        // One entry PER SHARD, deduped by shard on the driver: a raw
+        // counter accumulated inside a transformation stage double-applies
+        // under speculative/re-executed tasks (ADVICE r3); the per-shard
+        // count is deterministic, so first-wins dedup is exact.
+        var cnt = 0L
+        val res = SegmentSearcher.exhaustiveCounted(sq, byTerm, k, del, cnt += _)
+        acc.add((shard, cnt))
+        res.iterator
     }
     lazy val grouped = si.segments.filter(cond).groupByKey(_.shard)
     val perShard = tombstones match {
@@ -167,12 +176,12 @@ final class SegmentSearcher(
         // serving path: partitions already hold whole shards (cached()), so
         // the query is ONE narrow stage — no per-query shuffle
         si.segments.filter(cond).mapPartitions { it =>
-          it.toSeq.groupBy(_.shard).iterator.flatMap { case (_, rows) =>
-            run(byTermOf(rows.iterator), _ => false)
+          it.toSeq.groupBy(_.shard).iterator.flatMap { case (sh, rows) =>
+            run(sh, byTermOf(rows.iterator), _ => false)
           }
         }
       case None =>
-        grouped.flatMapGroups { (_, rows) => run(byTermOf(rows), _ => false) }
+        grouped.flatMapGroups { (sh, rows) => run(sh, byTermOf(rows), _ => false) }
       case Some(df) =>
         // tombstones ride the same shard grouping as the posting rows — a
         // co-group, not a driver Set broadcast: each shard sees only ITS
@@ -182,9 +191,9 @@ final class SegmentSearcher(
         val dps = si.docsPerShard
         val tombs = df.select(col("docId").cast("long")).as[Long]
           .groupByKey(id => (id / dps).toInt)
-        grouped.cogroup(tombs) { (_, rows, dels) =>
+        grouped.cogroup(tombs) { (sh, rows, dels) =>
           val del = dels.toSet
-          run(byTermOf(rows), del.contains)
+          run(sh, byTermOf(rows), del.contains)
         }
     }
     perShard.toDF("docId", "score")
@@ -198,14 +207,25 @@ final class SegmentSearcher(
 
   /** Top-k plus exact total matching docs from ONE distributed pass. */
   def topKWithTotal(q: String): (Seq[(Long, Double)], Long) = {
-    val acc = spark.sparkContext.longAccumulator("graft.total_rows")
+    val acc = spark.sparkContext.collectionAccumulator[(Int, Long)]("graft.total_rows")
     val rows = searchInternal(q, Some(acc)).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq.drop(opts.skip)
-    (rows, acc.value)
+    // dedupe by shard: re-executed tasks report the same deterministic count
+    val total = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.groupBy(_._1).map(_._2.head._2).sum
+    }
+    (rows, total)
   }
 }
 
 object SegmentSearcher {
+
+  /** Plan-memo bound: thousands of distinct live prepared statements is
+    * already generous for a serving tier; past it, least-recently-used
+    * query strings re-analyze (cheap) instead of accumulating forever.
+    */
+  val PlanCacheCapacity = 2048
 
   def leafTerms(sq: SQ): Seq[(String, String)] = sq match {
     case STerm(f, t, _, _) => Seq((f, t))

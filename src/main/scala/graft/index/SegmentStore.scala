@@ -495,13 +495,21 @@ object SegmentStore {
       "deleted_count" -> deletedDocsDF(spark, dir).count())
   }
 
+  /** Canonical analyzer name persisted in the spec; must round-trip through
+    * [[Analyzers.byName]] so [[specDigest]] distinguishes every representable
+    * analyzer. An unrepresentable analyzer fails LOUDLY — the old "default
+    * to standard" fallback made a Standard→NGram spec change digest-equal,
+    * so reindexOnSpecChange silently kept serving the stale index (ADVICE r3).
+    */
   def analyzerName(a: graft.analysis.Analyzer): String = a match {
     case Analyzers.Standard => "standard"
     case Analyzers.Classic => "classic"
     case Analyzers.Simple => "simple"
     case Analyzers.Whitespace => "whitespace"
     case Analyzers.Keyword => "keyword"
-    case _ => "standard"
+    case Analyzers.NGram(inner, min, max) => s"ngram:${analyzerName(inner)}:$min:$max"
+    case other => throw new IllegalArgumentException(
+      s"analyzer $other has no persistable name — add it to SegmentStore.analyzerName/Analyzers.byName")
   }
 
   def open(spark: SparkSession, dir: String): SegmentIndex = {
@@ -529,9 +537,11 @@ final class SegmentIndex(
       */
     val shardAligned: Boolean = false) {
 
-  /** Driver-side term-stats memo (see TextIndex.statsCache). */
-  @transient lazy val statsCache: scala.collection.concurrent.TrieMap[(String, String), Option[TermStats]] =
-    scala.collection.concurrent.TrieMap.empty
+  /** Driver-side term-stats memo (see TextIndex.statsCache); LRU-bounded —
+    * an open-ended query vocabulary must not grow the driver map forever.
+    */
+  @transient lazy val statsCache: LruCache[(String, String), Option[TermStats]] =
+    new LruCache(65536)
 
   /** Serving mode: repartition ONCE by shard and pin in memory. Every
     * subsequent query runs as a single narrow stage (filter → per-partition

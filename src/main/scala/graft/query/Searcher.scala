@@ -208,7 +208,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       val found = index.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
       missing.foreach(k => index.statsCache.put(k, found.get(k)))
     }
-    terms.distinct.flatMap(k => index.statsCache(k).map(k -> _)).toMap
+    terms.distinct.flatMap(k => index.statsCache.get(k).getOrElse(None).map(k -> _)).toMap
   }
 
   // ---------------- execution ------------------------------------------

@@ -86,6 +86,50 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(pf("text") === Analyzers.Standard)
   }
 
+  test("TokenBuffer merge-sort path ≡ insertion-sort path on large documents") {
+    // > MergeSortThreshold tokens forces the merge path; compare against a
+    // reference sort of the same (term, pos) pairs
+    val rnd = new scala.util.Random(7)
+    val words = Vector("kafka", "spark", "merge", "batch", "zz", "aa", "m")
+    val n = graft.analysis.TokenBuffer.MergeSortThreshold * 4 + 13
+    val buf = new graft.analysis.TokenBuffer(16)
+    val pairs = (0 until n).map(i => (words(rnd.nextInt(words.length)), i))
+    pairs.foreach { case (t, p) => buf.add(t, p) }
+    buf.sort()
+    val got = (0 until buf.len).map(i => (buf.terms(i), buf.poss(i)))
+    assert(got === pairs.sortBy(identity))
+    // small case still exercises insertion sort
+    val small = new graft.analysis.TokenBuffer(4)
+    Seq(("b", 0), ("a", 1), ("b", 2), ("a", 3)).foreach { case (t, p) => small.add(t, p) }
+    small.sort()
+    assert((0 until small.len).map(i => (small.terms(i), small.poss(i))) ===
+      Seq(("a", 1), ("a", 3), ("b", 0), ("b", 2)))
+  }
+
+  test("classic/ngram tokensInto ≡ tokens (zero-alloc overrides keep the goldens)") {
+    val samples = Seq("foo@bar.com visits www.example.com", "AT&T and O'Neil's U.S.A. trip",
+      "paxos made simple again", "The Quick brown FOX")
+    Seq(Analyzers.Classic, Analyzers.NGram(), Analyzers.NGram(Analyzers.Simple, 1, 3)).foreach { a =>
+      samples.foreach { s =>
+        val buf = new graft.analysis.TokenBuffer(8)
+        a.tokensInto(s, buf)
+        val viaInto = (0 until buf.len).map(i => Token(buf.terms(i), buf.poss(i)))
+        assert(viaInto === a.tokens(s), s"analyzer $a on '$s'")
+      }
+    }
+  }
+
+  test("analyzer names round-trip through the spec digest (incl. parameterized ngram)") {
+    import graft.index.SegmentStore.analyzerName
+    val all = Seq(Analyzers.Standard, Analyzers.Classic, Analyzers.Simple,
+      Analyzers.Whitespace, Analyzers.Keyword, Analyzers.NGram(),
+      Analyzers.NGram(Analyzers.Whitespace, 2, 3))
+    all.foreach(a => assert(Analyzers.byName(analyzerName(a)) === a))
+    // distinct analyzers must yield distinct digests (the ADVICE r3 bug:
+    // NGram collapsed to "standard", hiding a spec change)
+    assert(analyzerName(Analyzers.NGram()) !== analyzerName(Analyzers.Standard))
+  }
+
   test("positions enable exact-phrase semantics across stop gaps") {
     // "made" at 1, "simple" at 2: "paxos made simple" is consecutive
     val toks = Analyzers.Standard.tokens("paxos made simple")
