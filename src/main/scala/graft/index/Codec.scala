@@ -28,6 +28,12 @@ object Codec {
     * (the avgdl only enters the BM25 denominator as C1 + C2/avgdl with
     * C1, C2 ≥ 0, so the ratio of norms is ≤ q/encAvgdl when q > encAvgdl) —
     * scorers apply that inflation so WAND stays sound across generations.
+    *
+    * `minPos`/`maxPos` bound every token position stored in the block —
+    * per-block PHRASE metadata (COVERAGE round-4 item): a phrase scorer
+    * intersects its member terms' current-block position ranges and skips
+    * the whole block overlap (never decoding positions) when the ranges
+    * can't form a window within the slop.
     */
   final case class Block(
       firstDoc: Long,
@@ -36,6 +42,8 @@ object Codec {
       maxTf: Int,
       maxTfNorm: Double,
       encAvgdl: Double,
+      minPos: Int,
+      maxPos: Int,
       docBytes: Array[Byte],
       tfBytes: Array[Byte],
       dlBytes: Array[Byte],
@@ -103,6 +111,8 @@ object Codec {
         writeVLong(docB, prev) // first docId absolute
         var maxTf = 0
         var maxNorm = 0.0
+        var minPos = Int.MaxValue
+        var maxPos = -1
         buf.foreach { d =>
           if (d.docId != buf.head.docId) {
             writeVLong(docB, d.docId - prev)
@@ -115,13 +125,19 @@ object Codec {
             writeVLong(posB, (p - pPrev).toLong)
             pPrev = p
           }
+          if (d.positions.nonEmpty) {
+            if (d.positions(0) < minPos) minPos = d.positions(0)
+            if (d.positions(d.positions.length - 1) > maxPos) maxPos = d.positions(d.positions.length - 1)
+          }
           if (d.tf > maxTf) maxTf = d.tf
           val norm = d.tf * (IndexBuilder.K1 + 1.0) /
             (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * d.dl))
           if (norm > maxNorm) maxNorm = norm
         }
+        if (minPos == Int.MaxValue) minPos = 0 // no positions stored anywhere in the block
+        if (maxPos < 0) maxPos = Int.MaxValue - 1
         blocks += Block(buf.head.docId, buf.last.docId, buf.length, maxTf, maxNorm, avgdl,
-          docB.toArray, tfB.toArray, dlB.toArray, posB.toArray)
+          minPos, maxPos, docB.toArray, tfB.toArray, dlB.toArray, posB.toArray)
         buf.clear()
       }
     }
@@ -134,6 +150,62 @@ object Codec {
   }
 
   // ---- decode ----------------------------------------------------------
+
+  /** Doc-level view of a block: docIds/tf/dl WITHOUT positions. Positions
+    * are the bulk of a positional index's bytes, and term/boolean scoring
+    * never reads them — [[Scorers.TermIterator]] decodes docs eagerly and
+    * positions only on a phrase scorer's first request for the block.
+    */
+  final class BlockDocs(val docIds: Array[Long], val tfs: Array[Int], val dls: Array[Int])
+
+  def decodeDocs(b: Block): BlockDocs = {
+    val docIds = new Array[Long](b.count)
+    val tfs = new Array[Int](b.count)
+    val dls = new Array[Int](b.count)
+    var docPos = 0
+    var tfPos = 0
+    var dlPos = 0
+    var doc = 0L
+    var i = 0
+    while (i < b.count) {
+      val (delta, np) = readVLong(b.docBytes, docPos)
+      docPos = np
+      doc = if (i == 0) delta else doc + delta
+      docIds(i) = doc
+      val (tf, ntf) = readVLong(b.tfBytes, tfPos)
+      tfPos = ntf
+      tfs(i) = tf.toInt
+      val (dl, ndl) = readVLong(b.dlBytes, dlPos)
+      dlPos = ndl
+      dls(i) = dl.toInt
+      i += 1
+    }
+    new BlockDocs(docIds, tfs, dls)
+  }
+
+  /** Decode the whole block's position lists (tf(i) positions per doc). */
+  def decodePositions(b: Block, tfs: Array[Int]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](b.count)
+    var posPos = 0
+    var i = 0
+    while (i < b.count) {
+      val tf = tfs(i)
+      val positions = new Array[Int](tf)
+      var p = 0
+      var j = 0
+      while (j < tf) {
+        val (d, npp) = readVLong(b.posBytes, posPos)
+        posPos = npp
+        p += d.toInt
+        positions(j) = p
+        j += 1
+      }
+      out(i) = positions
+      i += 1
+    }
+    out
+  }
+
   def decode(b: Block): Array[Decoded] = {
     val out = new Array[Decoded](b.count)
     var docPos = 0

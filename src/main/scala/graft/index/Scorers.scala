@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.index.Codec.{Block, Decoded}
+import graft.index.Codec.Block
 
 /** Doc-at-a-time scorers over compressed posting runs — the per-shard query
   * kernel of the segment path (SURVEY.md §3.1 "our Spark lifecycle"): each
@@ -14,43 +14,64 @@ object Scorers {
   val NoMoreDocs: Long = Long.MaxValue
 
   /** Cursor over one term's blocks within a shard. Blocks are decoded
-    * lazily — advancing past a block via its skip entry never decodes it.
+    * lazily — advancing past a block via its skip entry never decodes it —
+    * and in two tiers: docIds/tf/dl decode when the cursor enters a block,
+    * POSITIONS only on the first [[curPositions]] call for that block.
+    * Term/boolean queries therefore never decode positions at all, and a
+    * phrase query skips them for every block its feasibility check prunes.
     */
   final class TermIterator(blocks: IndexedSeq[Block]) {
     private var bi = 0
-    private var decoded: Array[Decoded] = _
+    private var decoded: Codec.BlockDocs = _
+    private var positions: Array[Array[Int]] = _
     private var di = 0
 
-    /** Observability: how many blocks were actually decoded — WAND's skip
-      * effectiveness is (decodedBlocks / totalBlocks).
+    /** Observability: how many blocks were actually doc-decoded — WAND's
+      * skip effectiveness is (decodedBlocks / totalBlocks).
       */
     var decodedBlocks: Int = 0
+
+    /** How many blocks had their positions decoded (phrase-path cost). */
+    var decodedPosBlocks: Int = 0
     def totalBlocks: Int = blocks.length
 
     advanceBlock()
 
     private def advanceBlock(): Unit = {
       decoded = null
+      positions = null
       di = 0
       if (bi < blocks.length) {
-        decoded = Codec.decode(blocks(bi))
+        decoded = Codec.decodeDocs(blocks(bi))
         decodedBlocks += 1
       }
     }
 
-    def doc: Long = if (decoded == null) NoMoreDocs else decoded(di).docId
-    def current: Decoded = decoded(di)
+    def doc: Long = if (decoded == null) NoMoreDocs else decoded.docIds(di)
+    def curTf: Int = decoded.tfs(di)
+    def curDl: Int = decoded.dls(di)
+    def curPositions: Array[Int] = {
+      if (positions == null) {
+        positions = Codec.decodePositions(blocks(bi), decoded.tfs)
+        decodedPosBlocks += 1
+      }
+      positions(di)
+    }
+
+    /** Position-range bounds of the CURRENT block (encode-time metadata). */
+    def blockMinPos: Int = blocks(bi).minPos
+    def blockMaxPos: Int = blocks(bi).maxPos
 
     def next(): Unit = {
       if (decoded != null) {
         di += 1
-        if (di >= decoded.length) { bi += 1; advanceBlock() }
+        if (di >= decoded.docIds.length) { bi += 1; advanceBlock() }
       }
     }
 
     /** First doc >= target, skipping whole blocks via lastDoc. */
     def advance(target: Long): Unit = {
-      if (decoded != null && decoded(decoded.length - 1).docId < target) {
+      if (decoded != null && decoded.docIds(decoded.docIds.length - 1) < target) {
         // skip blocks without decoding
         decoded = null
         bi += 1
@@ -58,7 +79,7 @@ object Scorers {
         advanceBlock()
         di = 0
       }
-      while (decoded != null && decoded(di).docId < target) next()
+      while (decoded != null && decoded.docIds(di) < target) next()
     }
 
     /** Upper bound of the tf-norm over the remaining blocks under the live
@@ -117,9 +138,9 @@ object Scorers {
     def next(): Unit = it.next()
     def advance(target: Long): Unit = it.advance(target)
     def score: Double = {
-      val d = it.current
-      weight * d.tf * (IndexBuilder.K1 + 1.0) /
-        (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + bOverAvgdl * d.dl))
+      val tf = it.curTf
+      weight * tf * (IndexBuilder.K1 + 1.0) /
+        (tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + bOverAvgdl * it.curDl))
     }
     def maxScore: Double = weight * it.maxTfNorm(qAvgdl)
     def blockMaxScore: Double = weight * it.blockMaxTfNorm(qAvgdl)
@@ -158,7 +179,29 @@ object Scorers {
     }
 
     private def phraseFreq(): Double =
-      graft.query.PhraseMatch.weightedFreq(its.map(_.current.positions).toArray, slop)
+      graft.query.PhraseMatch.weightedFreq(its.map(_.curPositions).toArray, slop)
+
+    /** Per-block phrase feasibility (COVERAGE round-4): term i contributes
+      * an ADJUSTED position adj_i = p_i − i from its current block's range
+      * [minPos−i, maxPos−i]; a sloppy window needs max(adj) − min(adj) ≤
+      * slop, which is achievable iff max_i(lo_i) − min_i(hi_i) ≤ slop.
+      * When the current blocks fail this, NO doc can match while every
+      * cursor stays inside its block — so positions stay undecoded and the
+      * per-doc window scan is skipped for the whole block overlap.
+      */
+    private def blocksFeasible(): Boolean = {
+      var maxLo = Int.MinValue
+      var minHi = Int.MaxValue
+      var i = 0
+      while (i < its.length) {
+        val lo = its(i).blockMinPos - i
+        val hi = its(i).blockMaxPos - i
+        if (lo > maxLo) maxLo = lo
+        if (hi < minHi) minHi = hi
+        i += 1
+      }
+      maxLo - minHi <= slop
+    }
 
     private def findNext(target: Long): Unit = {
       var t = target
@@ -167,12 +210,18 @@ object Scorers {
       while (!done) {
         val d = alignAll(t)
         if (d == NoMoreDocs) { done = true }
-        else {
+        else if (!blocksFeasible()) {
+          // jump past the earliest current-block end: feasibility can only
+          // change once some iterator leaves its block
+          var minBlockEnd = NoMoreDocs
+          its.foreach(it => if (it.blockLastDoc < minBlockEnd) minBlockEnd = it.blockLastDoc)
+          t = minBlockEnd + 1
+        } else {
           val f = phraseFreq()
           if (f > 0) {
             curDoc = d
             curFreq = f
-            curDl = its.head.current.dl
+            curDl = its.head.curDl
             done = true
           } else t = d + 1
         }

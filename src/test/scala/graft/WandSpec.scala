@@ -140,6 +140,57 @@ class WandSpec extends AnyFunSuite with GenSamples {
     assert(frac < 0.05, f"expected <5%% of phrase member blocks decoded, got ${frac * 100}%.1f%%")
   }
 
+  test("phrase block position bounds skip position decodes; results ≡ exhaustive (round-4)") {
+    // A at pos 0 in every even doc. B co-occurs everywhere but sits at pos
+    // 500 — except docs in [50000, 50512) where it is adjacent (pos 1). The
+    // per-block [minPos, maxPos] feasibility check must confine position
+    // decoding to the few blocks overlapping that range; every other block
+    // pair is provably un-matchable without looking at a single position.
+    val aRun = (0L until 200000L by 2L).map(d => Decoded(d, 1, 30, Array(0))).toVector
+    val bRun = (0L until 200000L by 2L).map { d =>
+      val p = if (d >= 50000L && d < 50512L) 1 else 500
+      Decoded(d, 1, 30, Array(p))
+    }.toVector
+    val itA = new TermIterator(Codec.encode(aRun.iterator, avgdl))
+    val itB = new TermIterator(Codec.encode(bRun.iterator, avgdl))
+    val phrase = new PhraseScorer(IndexedSeq(itA, itB), 0, 1.0, avgdl)
+    val got = exhaustiveTopK(phrase, 1000)
+    assert(got.map(_._1).sorted === (50000L until 50512L by 2L).toVector)
+    val posFrac = (itA.decodedPosBlocks + itB.decodedPosBlocks).toDouble /
+      (itA.totalBlocks + itB.totalBlocks)
+    assert(posFrac < 0.05, f"expected <5%% of position blocks decoded, got ${posFrac * 100}%.1f%%")
+  }
+
+  test("phrase feasibility pruning never changes results (random offsets and slops)") {
+    val runGen = for {
+      n <- Gen.choose(5, 200)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 2000L))
+      offs <- Gen.listOfN(n, Gen.oneOf(0, 1, 2, 7, 40))
+      tfs <- Gen.listOfN(n, Gen.choose(1, 3))
+    } yield ids.distinct.sorted.zip(offs.zip(tfs)).map { case (d, (off, tf)) =>
+      Decoded(d, tf, 25, Array.tabulate(tf)(j => off + 2 * j))
+    }.toVector
+    forAll(Gen.zip(runGen, runGen, Gen.choose(0, 3), Gen.oneOf(2, 10))) { case (ra, rb, slop, k) =>
+      val phrase = new PhraseScorer(IndexedSeq(
+        new TermIterator(Codec.encode(ra.iterator, avgdl)),
+        new TermIterator(Codec.encode(rb.iterator, avgdl))), slop, 1.5, avgdl)
+      val got = exhaustiveTopK(phrase, k)
+      // brute force straight off the raw runs through the same kernel
+      val byA = ra.map(d => d.docId -> d).toMap
+      val want = rb.flatMap { db =>
+        byA.get(db.docId).flatMap { da =>
+          val pf = graft.query.PhraseMatch.weightedFreq(Array(da.positions, db.positions), slop)
+          if (pf > 0)
+            Some(db.docId -> 1.5 * pf * (IndexBuilder.K1 + 1.0) /
+              (pf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * da.dl)))
+          else None
+        }
+      }.sortBy { case (d, s) => (-s, d) }.take(k)
+      assert(got.map(_._1) === want.map(_._1))
+      got.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("WAND actually skips blocks: rare term + hot term decodes a fraction of the hot postings") {
     // hot term: every 2nd doc over 2M ids (many blocks); rare term: 5 docs.
     // The rare term's high idf dominates: once the heap holds rare-doc
