@@ -93,11 +93,18 @@ object Engine {
   /** On-disk segment index dir for a corpus (built once, memoized) — the
     * path handed to the `graft_search` SQL table function.
     */
+  /** Stored/doc-value sidecar columns for the documents segment index:
+    * n_chars serves typed point/range queries; text/lang/source serve
+    * field sort + include_fields on the segment path.
+    */
+  val DocStoredColumns: Seq[String] = Seq("text", "lang", "source", "n_chars")
+
   def segmentIndexDir(spark: SparkSession, sfDir: String): String =
     segDirCache.getOrElseUpdate(sfDir, {
       val dir = java.nio.file.Files.createTempDirectory("graft-segidx").toString
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      SegmentStore.build(docs, "doc_id", DocFields, dir, docsPerShard = 128)
+      SegmentStore.build(docs, "doc_id", DocFields, dir, docsPerShard = 128,
+        storedColumns = DocStoredColumns)
       dir
     })
 

@@ -177,6 +177,26 @@ object SparkEntry {
     // mixed phrase+term disjunction -> MAXSCORE-pruned per-shard path
     "seg_mixed" -> ((s, d) => Engine.topkSeg(s, d, "\"merge batch\" spark")),
     "seg_phrase_slop" -> ((s, d) => Engine.topkSeg(s, d, "\"batch merge\"~2")),
+    // typed doc-value queries on the SEGMENT path (round 4): the stored
+    // sidecar materializes the predicate per shard and the match set joins
+    // the posting conjunction WAND-side (reference serves typed fields
+    // through the same index as text, CustomQueryParser.java:113-128)
+    "seg_point_num" -> ((s, d) => Engine.topkSeg(s, d, "n_chars<long>:132 AND dup")),
+    "seg_range_num" -> ((s, d) => Engine.topkSeg(s, d, "n_chars<long>:[100 TO 200] AND dup")),
+    // segment-path envelope parity (round 4): field sort + include_fields
+    // over the stored sidecar (reference DatabaseIndexer.java:517-633)
+    "seg_sort" -> ((s, d) =>
+      new graft.index.SegmentSearcher(Engine.segmentIndex(s, d),
+        SearchOptions(limit = 10, sort = QueryParser.parseSort("/source")))
+        .searchEnvelope("dup")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("sort_0").as("source"), col("rank").cast("long").as("rank"))),
+    "seg_include" -> ((s, d) =>
+      new graft.index.SegmentSearcher(Engine.segmentIndex(s, d),
+        SearchOptions(limit = 5, includeFields = Seq("text")))
+        .searchEnvelope("dup")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          col("rank").cast("long").as("rank"), col("text"))),
     // SQL table function -> FullTextSearch LogicalPlan -> native Strategy
     "seg_sql" -> ((s, d) => {
       graft.functions.GraftExtensions.register(s)
@@ -387,6 +407,10 @@ object SparkEntry {
     "seg_range" -> topk(musts = Seq(ODocPred("source >= 'src1' AND source <= 'src3'"), OTerm("dup"))),
     "seg_mixed" -> topk(shoulds = Seq(OPhrase(Seq("merge", "batch")), OTerm("spark"))),
     "seg_phrase_slop" -> topk(shoulds = Seq(OPhrase(Seq("batch", "merge"), slop = 2))),
+    "seg_point_num" -> topk(musts = Seq(ODocPred("n_chars = 132"), OTerm("dup"))),
+    "seg_range_num" -> topk(musts = Seq(ODocPred("n_chars >= 100 AND n_chars <= 200"), OTerm("dup"))),
+    "seg_sort" -> sortedBy(OTerm("dup"), "source", 10),
+    "seg_include" -> withDocs(OTerm("dup"), 5),
     "seg_sql" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
     "op_docid_rank" -> OpsOracle.docidRank,
     "op_tokenize" -> OpsOracle.tokenizeSample,

@@ -262,6 +262,31 @@ object Scorers {
     def maxScore: Double = weight
   }
 
+  /** Constant-score cursor over an explicit sorted docId set — the shard's
+    * doc-value predicate matches (typed point/range/match-all queries),
+    * materialized from the stored sidecar's columnar scan. The Lucene
+    * analog is a doc-values iterator wrapped in a ConstantScoreQuery.
+    */
+  final class DocIdSetScorer(docs: Array[Long], weight: Double = 1.0) extends DocScorer {
+    private var i = 0
+    def doc: Long = if (i < docs.length) docs(i) else NoMoreDocs
+    def next(): Unit = if (i < docs.length) i += 1
+    def advance(target: Long): Unit = {
+      // galloping search: phrase/bool leapfrogging advances by small steps
+      var step = 1
+      while (i + step < docs.length && docs(i + step) < target) step <<= 1
+      var hi = math.min(i + step, docs.length)
+      var lo = i
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (docs(mid) < target) lo = mid + 1 else hi = mid
+      }
+      i = lo
+    }
+    def score: Double = weight
+    def maxScore: Double = weight
+  }
+
   final class BoostScorer(inner: DocScorer, boost: Double) extends DocScorer {
     def doc: Long = inner.doc
     def next(): Unit = inner.next()

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.index.Codec.Block
@@ -18,6 +18,11 @@ final case class SPhrase(field: String, terms: Seq[String], slop: Int, weight: D
 final case class SConst(field: String, terms: Seq[String]) extends SQ
 final case class SBool(musts: Seq[SQ], shoulds: Seq[SQ], nots: Seq[SQ]) extends SQ
 final case class SBoost(inner: SQ, boost: Double) extends SQ
+/** Constant-score doc-value predicate (typed point/range/match-all): the
+  * matching docIds are materialized per shard from the stored sidecar and
+  * shipped alongside the posting rows, keyed by `predId`.
+  */
+final case class SDocSet(predId: Int) extends SQ
 case object SEmpty extends SQ
 
 /** Distributed top-k over the compressed, doc-sharded segment store — the
@@ -82,8 +87,16 @@ final class SegmentSearcher(
     TermExpansion.expand(si.termStats.toDF(), f, TermExpansion.predFor(q))
 
   /** Resolve the bound AST to the shipped plan. */
-  def plan(q: Query): SQ = {
+  def plan(q: Query): SQ = planWithPreds(q)._1
+
+  /** Plan plus the doc-value predicate Columns referenced by SDocSet leaves
+    * (index = predId) — typed point/range/match-all queries filter the
+    * stored sidecar per shard (reference serves typed fields through the
+    * same index as text, CustomQueryParser.java:113-128, FieldType.java:40-162).
+    */
+  private[index] def planWithPreds(q: Query): (SQ, IndexedSeq[org.apache.spark.sql.Column]) = {
     val stats = lookupStats(collectTerms(q))
+    val preds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
     def boostOf(f: String): Double =
       si.fields.find(_.indexField == f).map(_.boost).getOrElse(1.0)
     def weight(f: String, t: String): Option[Double] =
@@ -112,11 +125,15 @@ final class SegmentSearcher(
       case mq @ WildcardQ(f, _) => constOf(f, expand(mq, f))
       case mq @ FuzzyQ(f, _, _) => constOf(f, expand(mq, f))
       case mq @ TermRangeQ(f, _, _, _, _) => constOf(f, expand(mq, f))
-      case MatchAllQ | _: NumRangeQ | _: NumTermQ =>
-        throw new UnsupportedOperationException(
-          "doc-value predicates run on the DataFrame path (Searcher); segment path serves postings queries")
+      case dv @ (MatchAllQ | _: NumRangeQ | _: NumTermQ) =>
+        if (si.stored.isEmpty)
+          throw new UnsupportedOperationException(
+            "typed doc-value queries on the segment path need the stored sidecar — " +
+              "build the index with SegmentStore.build(..., storedColumns = ...)")
+        preds += graft.query.Searcher.docValuePred(dv)
+        SDocSet(preds.length - 1)
     }
-    go(q)
+    (go(q), preds.toIndexedSeq)
   }
 
   private def constOf(f: String, terms: Seq[String]): SQ =
@@ -143,67 +160,167 @@ final class SegmentSearcher(
   private def searchInternal(
       q: String,
       countAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long)]]): DataFrame = {
-    val sq = plan(parse(q))
+    val k = opts.skip + opts.limit
+    scoredMatches(q, countAcc)
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** (docId, score) matches of the query, per-shard scored. With
+    * `exhaustive = false` each shard emits only its local top-k (the
+    * score-ranked path; the global TakeOrdered finishes the job); with
+    * `exhaustive = true` every match is emitted — field sort must rank ALL
+    * matches by the sort key (Lucene, too, collects exhaustively when
+    * sorting by field).
+    */
+  private def scoredMatches(
+      q: String,
+      countAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long)]],
+      exhaustive: Boolean = false): DataFrame = {
+    val (sq, preds) = planWithPreds(parse(q))
     val k = opts.skip + opts.limit
     import spark.implicits._
     if (sq == SEmpty) return spark.emptyDataset[(Long, Double)].toDF("docId", "score")
     val leaves = SegmentSearcher.leafTerms(sq)
-    val cond = leaves.map { case (f, t) => (col("field") === f) && (col("term") === t) }.reduce(_ || _)
+    val cond =
+      if (leaves.isEmpty) lit(false) // doc-value-only query: all matches ride the aux channel
+      else leaves.map { case (f, t) => (col("field") === f) && (col("term") === t) }.reduce(_ || _)
     def byTermOf(rows: Iterator[SegmentRow]): Map[(String, String), IndexedSeq[Codec.Block]] =
       rows.toSeq.groupBy(r => (r.field, r.term)).map { case (key, rs) =>
         key -> rs.sortBy(_.minDoc).flatMap(_.blocks).toIndexedSeq
       }
     def run(shard: Int, byTerm: Map[(String, String), IndexedSeq[Codec.Block]],
-        del: Long => Boolean): Iterator[(Long, Double)] = countAcc match {
-      case None => SegmentSearcher.shardTopK(sq, byTerm, k, del).iterator
-      case Some(acc) =>
-        // totals pass: exhaustive scoring (pruning would skip uncounted
-        // matches) with a per-shard (shard, count) accumulator entry —
-        // total_rows is a side-output of the one top-k job, exactly the
-        // reference's collector.totalHits (DatabaseIndexer.java:638).
-        // One entry PER SHARD, deduped by shard on the driver: a raw
-        // counter accumulated inside a transformation stage double-applies
-        // under speculative/re-executed tasks (ADVICE r3); the per-shard
-        // count is deterministic, so first-wins dedup is exact.
-        var cnt = 0L
-        val res = SegmentSearcher.exhaustiveCounted(sq, byTerm, k, del, cnt += _)
-        acc.add((shard, cnt))
-        res.iterator
+        docSets: Map[Int, Array[Long]], del: Long => Boolean): Iterator[(Long, Double)] =
+      countAcc match {
+        case None if exhaustive =>
+          SegmentSearcher.allScored(sq, byTerm, del, docSets).iterator
+        case None => SegmentSearcher.shardTopK(sq, byTerm, k, del, docSets).iterator
+        case Some(acc) =>
+          // totals pass: exhaustive scoring (pruning would skip uncounted
+          // matches) with a per-shard (shard, count) accumulator entry —
+          // total_rows is a side-output of the one top-k job, exactly the
+          // reference's collector.totalHits (DatabaseIndexer.java:638).
+          // One entry PER SHARD, deduped by shard on the driver: a raw
+          // counter accumulated inside a transformation stage double-applies
+          // under speculative/re-executed tasks (ADVICE r3); the per-shard
+          // count is deterministic, so first-wins dedup is exact.
+          var cnt = 0L
+          val res = SegmentSearcher.exhaustiveCounted(sq, byTerm, k, del, cnt += _, docSets)
+          acc.add((shard, cnt))
+          res.iterator
+      }
+    val dps = si.docsPerShard
+    // doc-value matches: one column-pruned, predicate-pushed scan of the
+    // stored sidecar per distinct predicate, tagged by predId — the result
+    // is exactly a materialized posting list (df = predicate selectivity),
+    // shuffled once by shard like the query's term rows
+    val dvRows: Option[Dataset[(Int, Long, Int)]] =
+      if (preds.isEmpty) None
+      else Some(preds.zipWithIndex.map { case (p, id) =>
+        si.stored.get.filter(p).select(
+          (col("docId").cast("long") / lit(dps)).cast("int").as("shard"),
+          col("docId").cast("long").as("docId"),
+          lit(id).as("predId")).as[(Int, Long, Int)]
+      }.reduce(_ union _))
+    // tombstones ride the same shard-keyed channel as predId = -1 — a
+    // co-group, not a driver Set broadcast: each shard sees only ITS
+    // deleted ids, so delete volume scales with the cluster, and WAND
+    // pruning stays active (exclusion happens at heap-offer time, which
+    // keeps the threshold a valid lower bound of the kth kept score)
+    val tombRows: Option[Dataset[(Int, Long, Int)]] = tombstones.map { df =>
+      df.select(
+        (col("docId").cast("long") / lit(dps)).cast("int").as("shard"),
+        col("docId").cast("long").as("docId"),
+        lit(-1).as("predId")).as[(Int, Long, Int)]
+    }
+    val aux: Option[Dataset[(Int, Long, Int)]] = (dvRows, tombRows) match {
+      case (Some(a), Some(b)) => Some(a.union(b))
+      case (a, b) => a.orElse(b)
     }
     lazy val grouped = si.segments.filter(cond).groupByKey(_.shard)
-    val perShard = tombstones match {
+    val perShard = aux match {
       case None if si.shardAligned =>
         // serving path: partitions already hold whole shards (cached()), so
         // the query is ONE narrow stage — no per-query shuffle
         si.segments.filter(cond).mapPartitions { it =>
           it.toSeq.groupBy(_.shard).iterator.flatMap { case (sh, rows) =>
-            run(sh, byTermOf(rows.iterator), _ => false)
+            run(sh, byTermOf(rows.iterator), Map.empty, _ => false)
           }
         }
       case None =>
-        grouped.flatMapGroups { (sh, rows) => run(sh, byTermOf(rows), _ => false) }
-      case Some(df) =>
-        // tombstones ride the same shard grouping as the posting rows — a
-        // co-group, not a driver Set broadcast: each shard sees only ITS
-        // deleted ids, so delete volume scales with the cluster, and WAND
-        // pruning stays active (exclusion happens at heap-offer time, which
-        // keeps the threshold a valid lower bound of the kth kept score)
-        val dps = si.docsPerShard
-        val tombs = df.select(col("docId").cast("long")).as[Long]
-          .groupByKey(id => (id / dps).toInt)
-        grouped.cogroup(tombs) { (sh, rows, dels) =>
-          val del = dels.toSet
-          run(sh, byTermOf(rows), del.contains)
+        grouped.flatMapGroups { (sh, rows) => run(sh, byTermOf(rows), Map.empty, _ => false) }
+      case Some(auxDs) =>
+        grouped.cogroup(auxDs.groupByKey(_._1)) { (sh, rows, auxIt) =>
+          val del = scala.collection.mutable.HashSet.empty[Long]
+          val sets = scala.collection.mutable.HashMap
+            .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+          auxIt.foreach { case (_, docId, predId) =>
+            if (predId < 0) del += docId
+            else sets.getOrElseUpdate(predId,
+              new scala.collection.mutable.ArrayBuffer[Long]) += docId
+          }
+          val docSets = sets.map { case (id, b) =>
+            val arr = b.toArray
+            java.util.Arrays.sort(arr) // scorer cursors need docId order
+            id -> arr
+          }.toMap
+          run(sh, byTermOf(rows), docSets, del.contains)
         }
     }
     perShard.toDF("docId", "score")
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
   }
 
   def topK(q: String): Seq[(Long, Double)] =
     search(q).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       .drop(opts.skip)
+
+  /** Full result envelope on the segment path — rank column, field sort,
+    * include_fields / include_docs projection over the stored sidecar:
+    * parity with `Searcher.searchFrom` (reference DatabaseIndexer.java:517-633).
+    * Sort keys and stored fields join back against the sidecar; the ranked
+    * side is ≤ skip+limit rows, so the fetch-back is a broadcast join.
+    */
+  def searchEnvelope(q: String): DataFrame = {
+    import graft.query.SortField
+    val k = opts.skip + opts.limit
+    def needStored(what: String): DataFrame = si.stored.getOrElse(throw
+      new UnsupportedOperationException(
+        s"$what on the segment path needs the stored sidecar — " +
+          "build the index with SegmentStore.build(..., storedColumns = ...)"))
+    val fieldSorts = opts.sort.zipWithIndex
+    val ext = fieldSorts.collect {
+      case (SortField(f, _, _), i) if f != "_score" && f != "_doc" => (f, i)
+    }
+    val base =
+      if (ext.isEmpty) scoredMatches(q, None)
+      else scoredMatches(q, None, exhaustive = true).join(
+        needStored("field sort").select(
+          col("docId").cast("long").as("docId") +:
+            ext.map { case (f, i) => col(f).as(s"sort_$i") }: _*),
+        Seq("docId"))
+    val sortCols =
+      if (opts.sort.isEmpty) Seq(col("score").desc, col("docId").asc)
+      else fieldSorts.map { case (SortField(f, _, asc), i) =>
+        val c = f match {
+          case "_score" => col("score")
+          case "_doc" => col("docId")
+          case _ => col(s"sort_$i")
+        }
+        if (asc) c.asc else c.desc
+      } :+ col("docId").asc
+    val ordered = base.orderBy(sortCols: _*).limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
+    val ranked = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
+    if (opts.includeDocs || opts.includeFields.nonEmpty) {
+      val stored = needStored("include_fields/include_docs")
+      val cols: Seq[org.apache.spark.sql.Column] =
+        if (opts.includeFields.nonEmpty)
+          col("docId").cast("long").as("docId") +: opts.includeFields.map(col)
+        else stored.columns.filterNot(_ == "shard").toSeq
+          .map(c => if (c == "docId") col(c).cast("long").as("docId") else col(c))
+      stored.select(cols: _*).join(broadcast(ranked), Seq("docId"), "inner")
+    } else ranked
+  }
 
   /** Top-k plus exact total matching docs from ONE distributed pass. */
   def topKWithTotal(q: String): (Seq[(Long, Double)], Long) = {
@@ -233,24 +350,29 @@ object SegmentSearcher {
     case SConst(f, ts) => ts.map((f, _))
     case SBool(m, s, n) => (m ++ s ++ n).flatMap(leafTerms)
     case SBoost(i, _) => leafTerms(i)
+    case SDocSet(_) => Nil
     case SEmpty => Nil
   }
 
   private def emptyIter: TermIterator = new TermIterator(Vector.empty[Block])
 
-  def buildScorer(sq: SQ, byTerm: Map[(String, String), IndexedSeq[Block]]): DocScorer = sq match {
+  def buildScorer(
+      sq: SQ,
+      byTerm: Map[(String, String), IndexedSeq[Block]],
+      docSets: Map[Int, Array[Long]] = Map.empty): DocScorer = sq match {
     case STerm(f, t, w, avgdl) =>
       new TermScorer(new TermIterator(byTerm.getOrElse((f, t), Vector.empty)), w).withAvgdl(avgdl)
     case SPhrase(f, ts, slop, w, avgdl) =>
       new PhraseScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq, slop, w, avgdl)
     case SConst(f, ts) =>
       new ConstScorer(ts.map(t => new TermIterator(byTerm.getOrElse((f, t), Vector.empty))).toIndexedSeq)
-    case SBoost(inner, b) => new BoostScorer(buildScorer(inner, byTerm), b)
+    case SDocSet(predId) => new DocIdSetScorer(docSets.getOrElse(predId, Array.emptyLongArray))
+    case SBoost(inner, b) => new BoostScorer(buildScorer(inner, byTerm, docSets), b)
     case SBool(m, s, n) =>
       new BoolScorer(
-        m.map(buildScorer(_, byTerm)).toIndexedSeq,
-        s.map(buildScorer(_, byTerm)).toIndexedSeq,
-        n.map(buildScorer(_, byTerm)).toIndexedSeq)
+        m.map(buildScorer(_, byTerm, docSets)).toIndexedSeq,
+        s.map(buildScorer(_, byTerm, docSets)).toIndexedSeq,
+        n.map(buildScorer(_, byTerm, docSets)).toIndexedSeq)
     case SEmpty => new ConstScorer(IndexedSeq(emptyIter))
   }
 
@@ -264,7 +386,8 @@ object SegmentSearcher {
       sq: SQ,
       byTerm: Map[(String, String), IndexedSeq[Block]],
       k: Int,
-      excluded: Long => Boolean = _ => false): Seq[(Long, Double)] =
+      excluded: Long => Boolean = _ => false,
+      docSets: Map[Int, Array[Long]] = Map.empty): Seq[(Long, Double)] =
     sq match {
       case STerm(f, t, w, avgdl) =>
         wandTopK(IndexedSeq(
@@ -276,10 +399,25 @@ object SegmentSearcher {
       case SBool(m, shoulds, n) if m.isEmpty && n.isEmpty =>
         // mixed disjunction (phrases/expansions among the clauses):
         // MAXSCORE pruning — non-essential clauses advance, never enumerate
-        maxscoreTopK(shoulds.map(buildScorer(_, byTerm)).toIndexedSeq, k, excluded)
+        maxscoreTopK(shoulds.map(buildScorer(_, byTerm, docSets)).toIndexedSeq, k, excluded)
       case other =>
-        exhaustiveTopK(buildScorer(other, byTerm), k, excluded)
+        exhaustiveTopK(buildScorer(other, byTerm, docSets), k, excluded)
     }
+
+  /** Every match of the scorer tree, unranked — the field-sort path. */
+  def allScored(
+      sq: SQ,
+      byTerm: Map[(String, String), IndexedSeq[Block]],
+      excluded: Long => Boolean,
+      docSets: Map[Int, Array[Long]] = Map.empty): Seq[(Long, Double)] = {
+    val root = buildScorer(sq, byTerm, docSets)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    while (root.doc != NoMoreDocs) {
+      if (!excluded(root.doc)) out += ((root.doc, root.score))
+      root.next()
+    }
+    out.toSeq
+  }
 
   /** Exhaustive top-k that also reports every non-excluded match to
     * `onMatch` — the totals path (pruned scorers skip docs they can prove
@@ -290,8 +428,9 @@ object SegmentSearcher {
       byTerm: Map[(String, String), IndexedSeq[Block]],
       k: Int,
       excluded: Long => Boolean,
-      onMatch: Long => Unit): Seq[(Long, Double)] =
-    exhaustiveTopK(buildScorer(sq, byTerm), k, d => {
+      onMatch: Long => Unit,
+      docSets: Map[Int, Array[Long]] = Map.empty): Seq[(Long, Double)] =
+    exhaustiveTopK(buildScorer(sq, byTerm, docSets), k, d => {
       val ex = excluded(d)
       if (!ex) onMatch(1L)
       ex

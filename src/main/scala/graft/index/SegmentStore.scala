@@ -106,7 +106,8 @@ object SegmentStore {
       fields: Seq[FieldDef],
       dir: String,
       docsPerShard: Long = 1L << 20,
-      failAfterStage: Option[String] = None): Long = {
+      failAfterStage: Option[String] = None,
+      storedColumns: Seq[String] = Nil): Long = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -118,6 +119,26 @@ object SegmentStore {
       if (!Files.exists(shardSpecPath(dir))) writeShardSpec(dir, docsPerShard)
     }
     failpoint("spec")
+
+    // Stored-fields / doc-values sidecar (reference: Lucene stored fields +
+    // doc values, DatabaseIndexer.java:517-633): a docId-keyed columnar
+    // projection of the requested source columns, shard-partitioned and
+    // docId-sorted within partitions. Typed point/range predicates filter it
+    // column-pruned (the doc-values shape); the envelope's sort keys and
+    // include_fields join back against it. Skipped entirely when no columns
+    // are requested.
+    if (storedColumns.nonEmpty && !stageDone(dir, "stored")) {
+      Timing.timed("build.stored") {
+        val parts = spark.sessionState.conf.numShufflePartitions
+        docs.select(col(docIdCol).cast("long").as("docId") +: storedColumns.map(col): _*)
+          .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+          .repartition(parts, col("shard"))
+          .sortWithinPartitions("docId")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/stored")
+        commitStage(dir, "stored", Map("columns" -> storedColumns.size.toLong))
+      }
+    }
+    failpoint("stored")
 
     // Tokenize ONCE: both remaining stages aggregate the same cached
     // postings — corpus scans are the dominant cost at scale, so the build
@@ -351,7 +372,8 @@ object SegmentStore {
         (sum($"docCount" * $"avgdl") / sum($"docCount")).as("avgdl"))
       .as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap
-    new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields, base.docsPerShard)
+    new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields, base.docsPerShard,
+      stored = base.stored)
   }
 
   /** `_optimize` analog (reference DatabaseIndexer.java:274-279,
@@ -382,6 +404,16 @@ object SegmentStore {
     IndexBuilder.fieldStatsFromPostings(postings)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
     commitStage(outDir, "stats", Map.empty)
+    // stored sidecar: expunge tombstoned rows too — a doc-value-only query
+    // (no posting conjunction) reads stored directly, so a row surviving
+    // its postings would resurrect the deleted doc
+    if (Files.exists(Paths.get(s"$dir/stored"))) {
+      spark.read.parquet(s"$dir/stored")
+        .join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
+        .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stored")
+      commitStage(outDir, "stored", Map.empty)
+    }
     val avgdls = spark.read.parquet(s"$outDir/fieldstats").as[FieldStats]
       .collect().map(fs => fs.field -> fs.avgdl).toMap
     encodeSegments(postings, avgdls, docsPerShard)
@@ -404,7 +436,9 @@ object SegmentStore {
     val staging = s"$dir/staging-optimize"
     deleteRecursively(staging)
     optimize(spark, dir, staging, docsPerShard)
-    Seq("spec", "termstats", "fieldstats", "segments").foreach { sub =>
+    val subs = Seq("spec", "termstats", "fieldstats", "segments") ++
+      (if (Files.exists(Paths.get(s"$staging/stored"))) Seq("stored") else Nil)
+    subs.foreach { sub =>
       deleteRecursively(s"$dir/$sub")
       Files.move(Paths.get(s"$staging/$sub"), Paths.get(s"$dir/$sub"))
     }
@@ -519,10 +553,13 @@ object SegmentStore {
     val fields = open0Fields(spark, dir)
     val fieldStats = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap
+    val stored =
+      if (Files.exists(Paths.get(s"$dir/stored"))) Some(spark.read.parquet(s"$dir/stored"))
+      else None
     new SegmentIndex(
       spark.read.parquet(s"$dir/segments").as[SegmentRow],
       spark.read.parquet(s"$dir/termstats").as[TermStats],
-      fieldStats, fields, docsPerShardOf(dir))
+      fieldStats, fields, docsPerShardOf(dir), stored = stored)
   }
 }
 
@@ -535,7 +572,12 @@ final class SegmentIndex(
     /** True when every partition of `segments` holds only whole shards
       * (see [[cached]]) — queries then skip the per-query shuffle.
       */
-    val shardAligned: Boolean = false) {
+    val shardAligned: Boolean = false,
+    /** Stored-fields / doc-values sidecar (docId + source columns): serves
+      * typed point/range predicates, field-sort keys, and include_fields
+      * on the segment path. None when the build didn't request it.
+      */
+    val stored: Option[DataFrame] = None) {
 
   /** Driver-side term-stats memo (see TextIndex.statsCache); LRU-bounded —
     * an open-ended query vocabulary must not grow the driver map forever.
@@ -567,7 +609,8 @@ final class SegmentIndex(
     val aligned = segments
       .repartition(parts, org.apache.spark.sql.functions.col("shard"))
       .sortWithinPartitions("field", "term", "minDoc")
-    val idx = new SegmentIndex(aligned, termStats, fieldStats, fields, docsPerShard, shardAligned = true)
+    val idx = new SegmentIndex(aligned, termStats, fieldStats, fields, docsPerShard,
+      shardAligned = true, stored = stored.map(_.persist()))
     idx.segments.persist()
     idx.termStats.persist()
     idx

@@ -369,26 +369,10 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
 
     case mq @ TermRangeQ(f, _, _, _, _) => constantScore(f, TermExpansion.predFor(mq))
 
-    case NumRangeQ(f, tpe, lo, hi, incLo, incHi) =>
-      val c = numCol(f, tpe)
-      val conds = Seq(
-        lo.map(v => if (incLo) c >= v else c > v),
-        hi.map(v => if (incHi) c <= v else c < v)).flatten
-      index.docs
-        .filter(conds.reduceOption(_ && _).getOrElse(lit(true)))
-        .select(col(docIdCol).cast("long").as("docId"), lit(1.0).as("score"))
-
-    case NumTermQ(f, tpe, v) =>
-      index.docs.filter(numCol(f, tpe) === v)
+    case dv @ (_: NumRangeQ | _: NumTermQ) =>
+      index.docs.filter(Searcher.docValuePred(dv))
         .select(col(docIdCol).cast("long").as("docId"), lit(1.0).as("score"))
   }
-
-  /** Typed doc-value column: dates compare as epoch millis
-    * (reference FieldType.java:32-53).
-    */
-  private def numCol(f: String, tpe: String): Column =
-    if (tpe == "date") unix_millis(col(f).cast("timestamp")).cast("double")
-    else col(f).cast("double")
 
   /** Multi-term queries: term-dictionary scan → OR of postings at constant
     * score 1.0 (Lucene CONSTANT_SCORE rewrite). The expansion predicate is
@@ -407,6 +391,27 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
 }
 
 object Searcher {
+  /** Typed doc-value column: dates compare as epoch millis
+    * (reference FieldType.java:32-53). Shared by the DataFrame path
+    * (over the docs table) and the segment path (over the stored sidecar).
+    */
+  def numCol(f: String, tpe: String): Column =
+    if (tpe == "date") unix_millis(col(f).cast("timestamp")).cast("double")
+    else col(f).cast("double")
+
+  /** Predicate Column for a typed point/range query over doc values. */
+  def docValuePred(q: Query): Column = q match {
+    case NumTermQ(f, tpe, v) => numCol(f, tpe) === v
+    case NumRangeQ(f, tpe, lo, hi, incLo, incHi) =>
+      val c = numCol(f, tpe)
+      Seq(
+        lo.map(v => if (incLo) c >= v else c > v),
+        hi.map(v => if (incHi) c <= v else c < v)).flatten
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case MatchAllQ => lit(true)
+    case other => throw new IllegalArgumentException(s"not a doc-value query: $other")
+  }
+
   /** Largest df for which a posting frame (or the ≤-that-many-row result
     * accumulated from it) is broadcast into hash joins: ~100k rows of
     * (docId, positions[], dl) stays well under Spark's broadcast limits

@@ -93,6 +93,48 @@ class SegmentSpec extends SparkSpec {
     }
   }
 
+  test("typed doc-value queries + envelope run on the segment path ≡ DataFrame path (round 4)") {
+    val dir = Files.createTempDirectory("graft-seg-dv").toString
+    SegmentStore.build(docs, "docId", fields, dir, docsPerShard = 257,
+      storedColumns = Seq("text", "role", "turn_idx"))
+    val seg = SegmentStore.open(spark, dir).cached()
+    assert(seg.stored.nonEmpty)
+    val dvQueries = Seq(
+      "turn_idx<long>:3 AND hello",
+      "turn_idx<long>:[2 TO 6] AND consensus",
+      "turn_idx<long>:[2 TO 6] AND (hello OR world)",
+      "hello AND -turn_idx<long>:[0 TO 3]")
+    dvQueries.foreach { q =>
+      val got = new SegmentSearcher(seg, SearchOptions(limit = 10)).topK(q)
+      val want = new Searcher(dfIndex, SearchOptions(limit = 10)).search(q)
+        .select("docId", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) === want.map(_._1), s"docIds differ for q=$q")
+      got.zip(want).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"score differs for q=$q")
+      }
+    }
+    // field sort + include_fields envelope parity with Searcher.searchFrom
+    val sortOpts = SearchOptions(limit = 8,
+      sort = graft.query.QueryParser.parseSort("/role"), includeFields = Seq("text"))
+    val gotEnv = new SegmentSearcher(seg, sortOpts).searchEnvelope("hello")
+      .select(col("docId"), col("score"), col("sort_0"), col("rank"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3), r.getString(4))).toSeq
+      .sortBy(_._4)
+    val wantEnv = new Searcher(dfIndex, sortOpts).search("hello")
+      .select(col("docId"), col("score"), col("sort_0"), col("rank"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3), r.getString(4))).toSeq
+      .sortBy(_._4)
+    assert(gotEnv.map(t => (t._1, t._3, t._4, t._5)) === wantEnv.map(t => (t._1, t._3, t._4, t._5)))
+    gotEnv.zip(wantEnv).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) <= 1e-9 * math.max(1.0, math.abs(b._2)))
+    }
+    // doc-value-only query (no posting clause): served from the sidecar
+    val dvOnly = new SegmentSearcher(seg, SearchOptions(limit = 5)).topK("turn_idx<long>:0")
+    val dfOnly = new Searcher(dfIndex, SearchOptions(limit = 5)).search("turn_idx<long>:0")
+      .select("docId", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dvOnly === dfOnly)
+  }
+
   test("per-partition lineage rows with row/term/byte metrics exist and reconcile") {
     import spark.implicits._
     segIndex // force build
