@@ -238,10 +238,19 @@ object SegmentStore {
     * digest-named dir).
     */
   def specChanged(spark: SparkSession, dir: String, fields: Seq[FieldDef]): Boolean =
-    stageDone(dir, "spec") && {
-      val current = open0Fields(spark, dir)
-      specDigest(current) != specDigest(fields)
-    }
+    stageDone(dir, "spec") && persistedSpecDigest(spark, dir).exists(_ != specDigest(fields))
+
+  private def specDigestPath(dir: String) = Paths.get(s"$dir/checkpoints/spec.digest")
+
+  /** The committed spec's digest. Served from the tiny digest file when
+    * present (written by [[writeSpec]] since round 4 — cheap enough to poll
+    * every micro-batch); falls back to re-digesting the spec parquet for
+    * dirs written by earlier rounds.
+    */
+  def persistedSpecDigest(spark: SparkSession, dir: String): Option[String] =
+    if (Files.exists(specDigestPath(dir))) Some(Files.readString(specDigestPath(dir)).trim)
+    else if (stageDone(dir, "spec")) Some(specDigest(open0Fields(spark, dir)))
+    else None
 
   private def open0Fields(spark: SparkSession, dir: String): Seq[FieldDef] = {
     import spark.implicits._
@@ -271,6 +280,8 @@ object SegmentStore {
       case StringField => ""
     }, f.boost)).toDF("indexField", "source", "kind", "analyzer", "boost")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/spec")
+    Files.createDirectories(specDigestPath(dir).getParent)
+    Files.writeString(specDigestPath(dir), specDigest(fields))
     commitStage(dir, "spec", Map("fields" -> fields.size.toLong))
   }
 

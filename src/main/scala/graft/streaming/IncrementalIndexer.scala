@@ -23,6 +23,15 @@ import graft.index._
   */
 object IncrementalIndexer {
 
+  /** The running stream detected a design-doc (spec) edit and stopped —
+    * the reference ends its changes loop on exactly this signal
+    * (DatabaseIndexer.java:343-348); the caller restarts via [[start]],
+    * whose reindexOnSpecChange wipes and rebuilds under the new spec.
+    */
+  final class SpecChangedException(dir: String)
+    extends RuntimeException(
+      s"index spec at $dir changed while the stream was running — restart to re-index")
+
   final case class Meta(nextDocId: Long, lastBatch: Long)
 
   private def metaPath(dir: String) = Paths.get(s"$dir/checkpoints/incremental.json")
@@ -212,6 +221,14 @@ object IncrementalIndexer {
     * the reference's `maybeCommit` every-15s cadence maps to the trigger.
     * A spec change wipes the index + checkpoint first, so the stream
     * rebuilds from the source's beginning under the new spec.
+    *
+    * MID-stream spec edits are detected too (round 4; reference detects a
+    * design-doc change DURING the changes loop, DatabaseIndexer.java:343-348):
+    * every micro-batch compares the persisted spec digest (a tiny text
+    * file) against the spec this stream was started with, and a mismatch
+    * fails the query with [[SpecChangedException]] BEFORE indexing the
+    * batch under the stale spec — the caller restarts, and the restart's
+    * reindexOnSpecChange rebuilds from scratch.
     */
   def start(
       sparkStreamSourceDir: String,
@@ -222,6 +239,7 @@ object IncrementalIndexer {
       orderCols: Seq[String],
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
     reindexOnSpecChange(spark, dir, fields)
+    val startedDigest = SegmentStore.specDigest(fields)
     spark.readStream
       .schema(schema)
       .parquet(sparkStreamSourceDir)
@@ -229,6 +247,8 @@ object IncrementalIndexer {
       .trigger(trigger)
       .option("checkpointLocation", s"$dir/checkpoints/stream")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (SegmentStore.persistedSpecDigest(spark, dir).exists(_ != startedDigest))
+          throw new SpecChangedException(dir)
         appendBatch(batch, batchId, dir, orderCols, fields)
       }
       .start()

@@ -180,6 +180,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MID-stream spec edit stops the stream; restart rebuilds under the new spec (round 4)") {
+    val src = Files.createTempDirectory("graft-src-respec").toString
+    val dir = Files.createTempDirectory("graft-stream-respec").toString
+    val schema = turnsDF(0, 1).schema
+    val q = IncrementalIndexer.start(src, dir, fields, spark, schema, Seq("conv_id", "turn_idx"))
+    val changed = fields.map {
+      case FieldDef(n, s, TextField(_), b) => FieldDef(n, s, TextField(graft.analysis.Analyzers.Whitespace), b)
+      case other => other
+    }
+    try {
+      turnsDF(0, 40).coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+      assert(IncrementalIndexer.readMeta(dir).lastBatch >= 0L)
+      // the design-doc edit analog: an external actor commits a NEW spec
+      // into the live dir while the stream is running
+      SegmentStore.writeSpec(spark, dir, changed)
+      turnsDF(40, 60).coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(failed).exists(_.isInstanceOf[IncrementalIndexer.SpecChangedException]),
+        s"stream did not stop with SpecChangedException: $failed")
+    } finally if (q.isActive) q.stop()
+    // restart under the new spec: reindexOnSpecChange wipes index +
+    // checkpoint, the stream replays the source from the beginning
+    val q2 = IncrementalIndexer.start(src, dir, changed, spark, schema, Seq("conv_id", "turn_idx"))
+    try q2.processAllAvailable() finally q2.stop()
+    val idx = SegmentStore.openMerged(spark, dir)
+    // "the" is a live term only under the whitespace analyzer
+    assert(topK(idx, "the").nonEmpty)
+    assert(idx.fieldStats("default").docCount === turnsDF(0, 60).count())
+  }
+
   test("tombstone deletes are honored at query time and dropped by optimize (_expunge/_optimize)") {
     val dir = Files.createTempDirectory("graft-del").toString
     val all = DocIds.assign(turnsDF(0, 80), Seq("conv_id", "turn_idx"), "docId", 8).persist()
