@@ -1,7 +1,5 @@
 package graft.index
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Posting-list compression: delta-encoded docIDs in VByte blocks of 128
   * with per-block skip/block-max metadata — the from-scratch rebuild of the
   * posting layer the reference delegates to Lucene's codec (SURVEY.md §2.5,
@@ -65,6 +63,8 @@ object Codec {
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
     def size: Int = len
+    /** Reuse across blocks: keeps the grown capacity (encode hot path). */
+    def reset(): Unit = len = 0
   }
 
   // ---- VByte ----------------------------------------------------------
@@ -95,58 +95,87 @@ object Codec {
   }
 
   // ---- encode ----------------------------------------------------------
-  /** Encode one docId-sorted posting run into blocks. `avgdl` fixes the
-    * block-max tf-norm bound.
+
+  /** Reusable run encoder — the build's hottest allocator after the
+    * tokenizer diet (VERDICT r3 #1b): one instance per encode task, fed
+    * docId-sorted runs as primitive parallel arrays. The only allocations
+    * per block are the four output byte arrays the Block must own; the
+    * writers keep their grown capacity across blocks and runs.
     */
-  def encode(run: Iterator[Decoded], avgdl: Double): Vector[Block] = {
-    val blocks = Vector.newBuilder[Block]
-    val buf = new ArrayBuffer[Decoded](BlockSize)
-    def flush(): Unit = {
-      if (buf.nonEmpty) {
-        val docB = new ByteWriter()
-        val tfB = new ByteWriter()
-        val dlB = new ByteWriter()
-        val posB = new ByteWriter()
-        var prev = buf.head.docId
+  final class RunEncoder {
+    private val docB = new ByteWriter(512)
+    private val tfB = new ByteWriter(256)
+    private val dlB = new ByteWriter(256)
+    private val posB = new ByteWriter(1024)
+
+    /** Encode `len` postings from the parallel arrays into blocks. */
+    def encode(
+        docIds: Array[Long],
+        tfs: Array[Int],
+        dls: Array[Int],
+        poss: Array[Array[Int]],
+        len: Int,
+        avgdl: Double): Vector[Block] = {
+      val blocks = Vector.newBuilder[Block]
+      var s = 0
+      while (s < len) {
+        val e = math.min(s + BlockSize, len)
+        docB.reset(); tfB.reset(); dlB.reset(); posB.reset()
+        var prev = docIds(s)
         writeVLong(docB, prev) // first docId absolute
         var maxTf = 0
         var maxNorm = 0.0
         var minPos = Int.MaxValue
         var maxPos = -1
-        buf.foreach { d =>
-          if (d.docId != buf.head.docId) {
-            writeVLong(docB, d.docId - prev)
-            prev = d.docId
+        var i = s
+        while (i < e) {
+          val d = docIds(i)
+          if (i > s) {
+            writeVLong(docB, d - prev)
+            prev = d
           }
-          writeVLong(tfB, d.tf.toLong)
-          writeVLong(dlB, d.dl.toLong)
+          val tf = tfs(i)
+          writeVLong(tfB, tf.toLong)
+          writeVLong(dlB, dls(i).toLong)
+          val positions = poss(i)
           var pPrev = 0
-          d.positions.foreach { p =>
+          var j = 0
+          while (j < positions.length) {
+            val p = positions(j)
             writeVLong(posB, (p - pPrev).toLong)
             pPrev = p
+            j += 1
           }
-          if (d.positions.nonEmpty) {
-            if (d.positions(0) < minPos) minPos = d.positions(0)
-            if (d.positions(d.positions.length - 1) > maxPos) maxPos = d.positions(d.positions.length - 1)
+          if (positions.length > 0) {
+            if (positions(0) < minPos) minPos = positions(0)
+            if (positions(positions.length - 1) > maxPos) maxPos = positions(positions.length - 1)
           }
-          if (d.tf > maxTf) maxTf = d.tf
-          val norm = d.tf * (IndexBuilder.K1 + 1.0) /
-            (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * d.dl))
+          if (tf > maxTf) maxTf = tf
+          val norm = tf * (IndexBuilder.K1 + 1.0) /
+            (tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / avgdl) * dls(i)))
           if (norm > maxNorm) maxNorm = norm
+          i += 1
         }
         if (minPos == Int.MaxValue) minPos = 0 // no positions stored anywhere in the block
         if (maxPos < 0) maxPos = Int.MaxValue - 1
-        blocks += Block(buf.head.docId, buf.last.docId, buf.length, maxTf, maxNorm, avgdl,
+        blocks += Block(docIds(s), docIds(e - 1), e - s, maxTf, maxNorm, avgdl,
           minPos, maxPos, docB.toArray, tfB.toArray, dlB.toArray, posB.toArray)
-        buf.clear()
+        s = e
       }
+      blocks.result()
     }
-    run.foreach { d =>
-      buf += d
-      if (buf.length == BlockSize) flush()
-    }
-    flush()
-    blocks.result()
+  }
+
+  /** Encode one docId-sorted posting run into blocks. `avgdl` fixes the
+    * block-max tf-norm bound. Convenience wrapper over [[RunEncoder]] for
+    * the non-hot paths (optimize, tests); the build feeds RunEncoder
+    * directly from its reusable buffers.
+    */
+  def encode(run: Iterator[Decoded], avgdl: Double): Vector[Block] = {
+    val buf = run.toArray
+    val enc = new RunEncoder
+    enc.encode(buf.map(_.docId), buf.map(_.tf), buf.map(_.dl), buf.map(_.positions),
+      buf.length, avgdl)
   }
 
   // ---- decode ----------------------------------------------------------
