@@ -279,9 +279,12 @@ object Bench {
     // sample averages over transient load within the window
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "25").toInt
 
+    // debug lever (not used by the driver): scaling pairs only, no phase 1
+    val skipPhase1 = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PHASE1").contains("1")
     // Phase 1: every driver query once at local[cpus]; the one-time index
     // constructions are timed as their own entries so per-query numbers are
     // pure query time.
+    val queryTimes: Seq[(String, Double)] = if (skipPhase1) Nil else {
     val spark1 = session(cpus)
     // Re-layout each input table into `cpus` files on scratch first: the
     // toy-scale parquet arrives as ONE split, so without this the op_*
@@ -308,9 +311,10 @@ object Bench {
         }
         name -> secs
     }
-    val queryTimes = buildTimes ++ queryTimes0
     spark1.stop()
     Engine.clearCaches()
+    buildTimes ++ queryTimes0
+    }
 
     // Phases 2+3: N vs 4N parallelism on identical input. N=2, 4N=8: in a
     // single shared JVM the memory subsystem plateaus past ~8-16 allocating

@@ -146,9 +146,16 @@ object SegmentStore {
     // rows so no doc-level shuffle is needed for avgdl.
     val needStats = !stageDone(dir, "stats")
     val needSegments = !stageDone(dir, "segments")
+    // Postings between the two consumers: CACHE (one tokenize, heavy
+    // block-manager write+read of every posting incl. positions) vs
+    // RECOMPUTE (tokenize twice, no cache traffic). Tokenization is pure
+    // per-core CPU and scales with cores; the cache's memory bandwidth does
+    // not — on a bandwidth-capped host the persist is what pins the wide
+    // build (round-4 scaling study). Default: recompute.
+    val usePersist = sys.env.get("GRAFT_BUILD_PERSIST").contains("1")
     lazy val withMarkers = {
       val p = IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
-      if (needStats && needSegments)
+      if (needStats && needSegments && usePersist)
         p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else p
     }
@@ -201,7 +208,7 @@ object SegmentStore {
             "postingsIn" -> rows.map(_.rowsIn).sum))
       }
     }
-    if (needStats && needSegments) withMarkers.unpersist(blocking = false)
+    if (needStats && needSegments && usePersist) withMarkers.unpersist(blocking = false)
     failpoint("segments")
     fieldStatsMem.map(_.map(_.docCount).maxOption.getOrElse(0L))
       .orElse(stageMetric(dir, "stats", "docCount"))

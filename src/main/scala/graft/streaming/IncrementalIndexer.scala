@@ -72,7 +72,8 @@ object IncrementalIndexer {
       dir: String,
       orderCols: Seq[String],
       fields: Seq[FieldDef],
-      docsPerShard: Long = 1L << 14): Unit = {
+      docsPerShard: Long = 1L << 14,
+      storedColumns: Seq[String] = Nil): Unit = {
     val meta = readMeta(dir)
     if (batchId <= meta.lastBatch) return // replayed batch — already committed
     val spark = batch.sparkSession
@@ -91,7 +92,11 @@ object IncrementalIndexer {
     val n = withIds.count()
     if (n > 0) {
       val staging = s"$dir/staging/gen-$batchId"
-      val withMarkers = IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields).persist()
+      // postings are NOT cached: re-tokenizing from the persisted raw batch
+      // is cheaper than round-tripping every posting (positions included)
+      // through the block manager — measured 1.5× build throughput at both
+      // 1 and 4 cores (BASELINE.md round 4); same choice as SegmentStore.build
+      val withMarkers = IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields)
       val postings = withMarkers.filter(_.term != IndexBuilder.DlMarker)
       // ONE stats agg: the marker rows' groups are the field stats (same
       // fold as SegmentStore.build) — no per-doc shuffle for avgdl
@@ -114,13 +119,22 @@ object IncrementalIndexer {
       }
       SegmentStore.encodeSegments(postings, avgdls, docsPerShard)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
-      withMarkers.unpersist(blocking = false)
       // key→docId map rides along as its own generation: the MERGE/upsert
       // path joins incoming keys against it to find superseded docIds
       withIds.select((orderCols.map(org.apache.spark.sql.functions.col) :+ col("docId")): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/keys")
+      // stored/doc-values sidecar generation (round 4): docIds are
+      // append-only, so generations union cleanly at open — doc-value and
+      // envelope queries work on an incrementally-maintained index too
+      if (storedColumns.nonEmpty) {
+        withIds.select(col("docId").cast("long").as("docId") +: storedColumns.map(col): _*)
+          .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/stored")
+      }
       // promote: idempotent move under stable names, then delete staging
-      Seq("termstats", "fieldstats", "segments", "keys").foreach { sub =>
+      val subs = Seq("termstats", "fieldstats", "segments", "keys") ++
+        (if (storedColumns.nonEmpty) Seq("stored") else Nil)
+      subs.foreach { sub =>
         promoteGeneration(s"$staging/$sub", s"$dir/$sub", s"gen$batchId")
       }
       SegmentStore.deleteRecursively(staging)
@@ -163,7 +177,8 @@ object IncrementalIndexer {
       dir: String,
       keyCols: Seq[String],
       fields: Seq[FieldDef],
-      docsPerShard: Long = 1L << 14): Unit = {
+      docsPerShard: Long = 1L << 14,
+      storedColumns: Seq[String] = Nil): Unit = {
     val meta = readMeta(dir)
     if (batchId <= meta.lastBatch) return
     val spark = batch.sparkSession
@@ -173,7 +188,7 @@ object IncrementalIndexer {
         .select(col("docId"))
       stale.write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
     }
-    appendBatch(batch, batchId, dir, keyCols, fields, docsPerShard)
+    appendBatch(batch, batchId, dir, keyCols, fields, docsPerShard, storedColumns)
   }
 
   /** Move a staged generation's parquet part files into the live dir under
@@ -237,7 +252,8 @@ object IncrementalIndexer {
       spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       orderCols: Seq[String],
-      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      storedColumns: Seq[String] = Nil): StreamingQuery = {
     reindexOnSpecChange(spark, dir, fields)
     val startedDigest = SegmentStore.specDigest(fields)
     spark.readStream
@@ -249,7 +265,7 @@ object IncrementalIndexer {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (SegmentStore.persistedSpecDigest(spark, dir).exists(_ != startedDigest))
           throw new SpecChangedException(dir)
-        appendBatch(batch, batchId, dir, orderCols, fields)
+        appendBatch(batch, batchId, dir, orderCols, fields, storedColumns = storedColumns)
       }
       .start()
   }

@@ -180,6 +180,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("IndexReaderManager: ETag stable until a commit advances; maybeRefresh swaps the snapshot (round 4)") {
+    val dir = Files.createTempDirectory("graft-nrt").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 30), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val mgr = new IndexReaderManager(spark, dir, servingPartitions = 4)
+    val e0 = mgr.etag
+    val docs0 = mgr.acquire().fieldStats("default").docCount
+    // nothing changed: no refresh, same token, same snapshot instance
+    assert(!mgr.maybeRefresh())
+    assert(mgr.etag === e0)
+    assert(mgr.acquire() eq mgr.acquire())
+    // a committed generation advances the version -> refresh installs it
+    IncrementalIndexer.appendBatch(turnsDF(30, 50), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    assert(ReaderManager.version(dir) !== e0)
+    assert(mgr.maybeRefresh())
+    assert(mgr.etag !== e0)
+    assert(mgr.acquire().fieldStats("default").docCount > docs0)
+    // a tombstone write alone also moves the token (reference ETag covers deletes)
+    val victim = topK(mgr.acquire(), "hello").take(1).map(_._1)
+    SegmentStore.deleteDocs(spark, dir, victim)
+    assert(mgr.maybeRefresh())
+  }
+
+  test("incremental generations carry the stored sidecar: doc-value + envelope queries on a streamed index (round 4)") {
+    val dir = Files.createTempDirectory("graft-inc-stored").toString
+    val stored = Seq("text", "role", "turn_idx")
+    IncrementalIndexer.appendBatch(turnsDF(0, 30), 0L, dir, Seq("conv_id", "turn_idx"),
+      fields, 257, storedColumns = stored)
+    IncrementalIndexer.appendBatch(turnsDF(30, 50), 1L, dir, Seq("conv_id", "turn_idx"),
+      fields, 257, storedColumns = stored)
+    val idx = SegmentStore.openMerged(spark, dir)
+    assert(idx.stored.nonEmpty)
+    val all = DocIds.assign(turnsDF(0, 50), Seq("conv_id", "turn_idx"), "docId", 8)
+    val dfIdx = IndexBuilder.build(all, "docId", fields)
+    Seq("turn_idx<long>:2 AND hello", "turn_idx<long>:[1 TO 4] AND consensus").foreach { q =>
+      val got = topK(idx, q)
+      val want = new graft.query.Searcher(dfIdx, SearchOptions(limit = 10)).search(q)
+        .select("docId", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) === want.map(_._1), s"docIds differ for q=$q")
+    }
+    // envelope on the streamed index: include_fields joins the sidecar
+    val inc = new SegmentSearcher(idx, SearchOptions(limit = 5, includeFields = Seq("text")))
+      .searchEnvelope("hello").select("docId", "text").collect()
+    assert(inc.length === 5)
+    assert(inc.forall(r => r.getString(1).toLowerCase.contains("hello")))
+  }
+
   test("MID-stream spec edit stops the stream; restart rebuilds under the new spec (round 4)") {
     val src = Files.createTempDirectory("graft-src-respec").toString
     val dir = Files.createTempDirectory("graft-stream-respec").toString
