@@ -197,6 +197,12 @@ object SparkEntry {
         .searchEnvelope("dup")
         .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
           col("rank").cast("long").as("rank"), col("text"))),
+    "seg_highlight" -> ((s, d) =>
+      new graft.index.SegmentSearcher(Engine.segmentIndex(s, d),
+        SearchOptions(limit = 5, highlights = 2, highlightLength = 60))
+        .searchEnvelope("spark merge")
+        .select(col("docId").as("doc_id"), round(col("score"), 4).as("score_r"),
+          concat_ws(" … ", col("highlights")).as("highlights"))),
     // SQL table function -> FullTextSearch LogicalPlan -> native Strategy
     "seg_sql" -> ((s, d) => {
       graft.functions.GraftExtensions.register(s)
@@ -411,6 +417,9 @@ object SparkEntry {
     "seg_range_num" -> topk(musts = Seq(ODocPred("n_chars >= 100 AND n_chars <= 200"), OTerm("dup"))),
     "seg_sort" -> sortedBy(OTerm("dup"), "source", 10),
     "seg_include" -> withDocs(OTerm("dup"), 5),
+    "seg_highlight" -> highlight(
+      shoulds = Seq(OTerm("spark"), OTerm("merge")),
+      terms = Seq("spark", "merge"), k = 5, fragLen = 60),
     "seg_sql" -> topk(musts = Seq(OTerm("spark"), OTerm("merge"))),
     "op_docid_rank" -> OpsOracle.docidRank,
     "op_tokenize" -> OpsOracle.tokenizeSample,

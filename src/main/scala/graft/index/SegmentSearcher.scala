@@ -311,7 +311,7 @@ final class SegmentSearcher(
     val ordered = base.orderBy(sortCols: _*).limit(k)
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
     val ranked = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
-    if (opts.includeDocs || opts.includeFields.nonEmpty) {
+    val withDocs = if (opts.includeDocs || opts.includeFields.nonEmpty) {
       val stored = needStored("include_fields/include_docs")
       val cols: Seq[org.apache.spark.sql.Column] =
         if (opts.includeFields.nonEmpty)
@@ -320,6 +320,43 @@ final class SegmentSearcher(
           .map(c => if (c == "docId") col(c).cast("long").as("docId") else col(c))
       stored.select(cols: _*).join(broadcast(ranked), Seq("docId"), "inner")
     } else ranked
+    if (opts.highlights > 0) addHighlights(withDocs, q) else withDocs
+  }
+
+  /** ?highlights=n on the segment path: best fragments of the default text
+    * field per hit, computed over the ≤k result rows with stored text
+    * joined back from the sidecar — same fragment kernel as the DataFrame
+    * path (reference DatabaseIndexer.java:512-513).
+    */
+  private def addHighlights(result: DataFrame, q: String): DataFrame = {
+    val srcColOpt = si.fields.collectFirst {
+      case FieldDef(f, src, _: TextField, _) if f == opts.defaultField => src
+    }
+    srcColOpt match {
+      case None => result
+      case Some(srcCol) =>
+        val terms = SegmentSearcher.leafTerms(plan(parse(q)))
+          .filter(_._1 == opts.defaultField).map(_._2).distinct
+        val withText =
+          if (result.columns.contains(srcCol)) result
+          else {
+            val stored = si.stored.getOrElse(throw new UnsupportedOperationException(
+              "highlights on the segment path need the stored sidecar"))
+            // ≤k ranked rows broadcast against the (column-pruned) sidecar
+            // scan — same fetch-back shape as include_fields
+            stored.select(col("docId").cast("long").as("docId"), col(srcCol))
+              .join(broadcast(result), Seq("docId"), "inner")
+          }
+        val n = opts.highlights
+        val len = opts.highlightLength
+        val outSchema = withText.schema
+          .add("highlights", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+        val textIdx = withText.schema.fieldIndex(srcCol)
+        withText.map { row =>
+          val frags = graft.query.Highlighter.fragments(row.getString(textIdx), terms, n, len)
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ frags)
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
   }
 
   /** Top-k plus exact total matching docs from ONE distributed pass. */
