@@ -75,6 +75,24 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(term,dup)"), plan.take(3000))
   }
 
+  test("doc-value predicate pushes into the stored sidecar scan, column-pruned (round 4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-dv").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.index.SegmentStore.build(docs, "doc_id", Engine.DocFields, dir, docsPerShard = 128,
+      storedColumns = Engine.DocStoredColumns)
+    val idx = graft.index.SegmentStore.open(spark, dir)
+    val searcher = new graft.index.SegmentSearcher(idx, SearchOptions(limit = 10))
+    val plan = planOf(searcher.search("n_chars<long>:[100 TO 200] AND dup"))
+    // the predicate reaches the sidecar's parquet scan...
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(n_chars)"),
+      plan.take(4000))
+    // ...and the scan reads only the columns the predicate needs (docId +
+    // n_chars), never text/lang/source
+    val storedReads = "ReadSchema: struct<docId:bigint,n_chars".r.findAllIn(plan)
+    assert(storedReads.nonEmpty, plan.take(4000))
+    assert(!plan.contains("ReadSchema: struct<docId:bigint,text"), plan.take(4000))
+  }
+
   test("column pruning: 2-column projection reads a 2-column schema") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice"))
