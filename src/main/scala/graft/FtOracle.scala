@@ -329,6 +329,28 @@ object FtOracle {
        |  FROM (${clause.sql}) c JOIN documents d ON c.doc_id = d.doc_id
        |) WHERE rank <= $k ORDER BY rank""".stripMargin
 
+  /** Typed descending sort (`?sort=\col<int>`): order by the column's
+    * numeric value desc, doc_id asc, with the per-row `sort_order` value
+    * rendered as the engine does (long → string).
+    */
+  def sortedTypedDesc(clause: OClause, sortCol: String, k: Int): String =
+    s"""WITH $baseCtes
+       |SELECT doc_id, round(s, 4) AS score_r, sort_order, rank FROM (
+       |  SELECT c.doc_id AS doc_id, c.s AS s,
+       |         CAST(CAST(d.$sortCol AS BIGINT) AS VARCHAR) AS sort_order,
+       |         row_number() OVER (ORDER BY d.$sortCol DESC, c.doc_id ASC) AS rank
+       |  FROM (${clause.sql}) c JOIN documents d ON c.doc_id = d.doc_id
+       |) WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  /** `?sort=/_doc`: the first k MATCHES by docId ascending — a
+    * score-pruned base would return the wrong set (VERDICT r4 wrong #1).
+    */
+  def sortedByDoc(clause: OClause, k: Int): String =
+    s"""WITH $baseCtes
+       |SELECT doc_id, round(s, 4) AS score_r, rank FROM (
+       |  SELECT doc_id, s, row_number() OVER (ORDER BY doc_id ASC) AS rank FROM (${clause.sql})
+       |) WHERE rank <= $k ORDER BY rank""".stripMargin
+
   /** include_docs variant: top-k joined back to the stored text. */
   def withDocs(clause: OClause, k: Int): String =
     s"""WITH $baseCtes

@@ -390,10 +390,19 @@ object Analyzers {
     case "ngram" => NGram()
     case ngram if ngram.startsWith("ngram:") =>
       // parameterized form persisted by SegmentStore.analyzerName:
-      // "ngram:<inner>:<min>:<max>" — round-trips any NGram spec exactly
-      ngram.split(':') match {
-        case Array(_, inner, min, max) => NGram(byName(inner), min.toInt, max.toInt)
-        case _ => throw new IllegalArgumentException(s"malformed ngram analyzer name: $ngram")
+      // "ngram:<inner>:<min>:<max>" — <inner> may itself be a parameterized
+      // ngram name (NGram over NGram), so parse from the RIGHT: the last two
+      // fields are min:max, everything between the prefix and them is the
+      // inner name, recursed (ADVICE r4: split-into-exactly-4 made a nested
+      // spec write fine and then fail every later open/specChanged).
+      val parts = ngram.split(':')
+      if (parts.length < 4)
+        throw new IllegalArgumentException(s"malformed ngram analyzer name: $ngram")
+      val inner = parts.slice(1, parts.length - 2).mkString(":")
+      try NGram(byName(inner), parts(parts.length - 2).toInt, parts(parts.length - 1).toInt)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"malformed ngram analyzer name: $ngram")
       }
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }

@@ -14,13 +14,23 @@ final class LruCache[K, V](capacity: Int) {
       this.size() > capacity
   }
 
-  def getOrElseUpdate(k: K, compute: => V): V = synchronized {
-    val existing = map.get(k)
-    if (existing != null || map.containsKey(k)) existing
-    else {
-      val v = compute
-      map.put(k, v)
-      v
+  /** Read under the lock, run `compute` OUTSIDE it, put under the lock.
+    * `compute` may launch a Spark job (plan memo → stats lookup collect);
+    * holding the monitor across it would serialize every concurrent search
+    * on this cache — even pure hits — behind one in-flight planning job
+    * (ADVICE r4). Two racing misses may both compute; last put wins, which
+    * is harmless for these idempotent memo values.
+    */
+  def getOrElseUpdate(k: K, compute: => V): V = {
+    val existing = synchronized {
+      if (map.containsKey(k)) Some(map.get(k)) else None
+    }
+    existing match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        synchronized { map.put(k, v) }
+        v
     }
   }
 

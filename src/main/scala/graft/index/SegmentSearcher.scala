@@ -68,15 +68,29 @@ final class SegmentSearcher(
   }
 
   private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), TermStats] = {
-    val missing = terms.distinct.filterNot(si.statsCache.contains)
-    if (missing.nonEmpty) {
-      val cond = missing
-        .map { case (f, t) => (col("field") === f) && (col("term") === t) }
-        .reduce(_ || _)
-      val found = si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
-      missing.foreach(k => si.statsCache.put(k, found.get(k)))
-    }
-    terms.distinct.flatMap(k => si.statsCache.get(k).getOrElse(None).map(k -> _)).toMap
+    // snapshot the cache ONCE; answer from the snapshot or the fresh scan,
+    // never from a post-put re-read — an entry evicted by a concurrent
+    // query between put and read would otherwise score a real term as
+    // absent with no error (ADVICE r4)
+    val distinct = terms.distinct
+    val cached = distinct.map(k => k -> si.statsCache.get(k)).toMap
+    val missing = distinct.filter(k => cached(k).isEmpty)
+    val found: Map[(String, String), TermStats] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val cond = missing
+          .map { case (f, t) => (col("field") === f) && (col("term") === t) }
+          .reduce(_ || _)
+        val f = si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+        missing.foreach(k => si.statsCache.put(k, f.get(k)))
+        f
+      }
+    distinct.flatMap { k =>
+      cached(k) match {
+        case Some(opt) => opt.map(k -> _) // cache hit: present or known-absent
+        case None => found.get(k).map(k -> _) // freshly scanned this call
+      }
+    }.toMap
   }
 
   /** Multi-term expansion: predicate pushed into the termStats scan, capped
@@ -289,15 +303,27 @@ final class SegmentSearcher(
           "build the index with SegmentStore.build(..., storedColumns = ...)"))
     val fieldSorts = opts.sort.zipWithIndex
     val ext = fieldSorts.collect {
-      case (SortField(f, _, _), i) if f != "_score" && f != "_doc" => (f, i)
+      case (SortField(f, tpe, _), i) if f != "_score" && f != "_doc" => (f, tpe, i)
     }
+    // The per-shard score-pruned top-k base is valid ONLY for the default
+    // ranking (score desc): any other requested order — field sort, /_doc,
+    // ascending _score — must rank the FULL match set, or the global
+    // orderBy runs over each shard's by-score survivors and returns the
+    // wrong first k (VERDICT r4 wrong #1; Lucene likewise collects
+    // exhaustively for non-relevance sorts).
+    val defaultOrder = opts.sort.isEmpty ||
+      opts.sort.map(sf => (sf.field, sf.ascending)) == Seq(("_score", false))
     val base =
-      if (ext.isEmpty) scoredMatches(q, None)
-      else scoredMatches(q, None, exhaustive = true).join(
-        needStored("field sort").select(
-          col("docId").cast("long").as("docId") +:
-            ext.map { case (f, i) => col(f).as(s"sort_$i") }: _*),
-        Seq("docId"))
+      if (ext.nonEmpty)
+        scoredMatches(q, None, exhaustive = true).join(
+          needStored("field sort").select(
+            col("docId").cast("long").as("docId") +:
+              ext.flatMap { case (f, tpe, i) => Seq(
+                graft.query.Searcher.sortKeyCol(f, tpe).as(s"sort_$i"),
+                graft.query.Searcher.sortDisplayCol(f, tpe).as(s"sortv_$i")) }: _*),
+          Seq("docId"))
+      else if (defaultOrder) scoredMatches(q, None)
+      else scoredMatches(q, None, exhaustive = true)
     val sortCols =
       if (opts.sort.isEmpty) Seq(col("score").desc, col("docId").asc)
       else fieldSorts.map { case (SortField(f, _, asc), i) =>
@@ -310,7 +336,18 @@ final class SegmentSearcher(
       } :+ col("docId").asc
     val ordered = base.orderBy(sortCols: _*).limit(k)
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
-    val ranked = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
+    val ranked0 = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
+    // per-row sort_order when field-sorted (reference
+    // DatabaseIndexer.java:597-608) — same rendering as the DataFrame path
+    val ranked =
+      if (opts.sort.isEmpty) ranked0
+      else ranked0.withColumn("sort_order", array(fieldSorts.map {
+        case (SortField(f, _, _), i) => f match {
+          case "_score" => col("score").cast("string")
+          case "_doc" => col("docId").cast("string")
+          case _ => col(s"sortv_$i")
+        }
+      }: _*))
     val withDocs = if (opts.includeDocs || opts.includeFields.nonEmpty) {
       val stored = needStored("include_fields/include_docs")
       val cols: Seq[org.apache.spark.sql.Column] =
@@ -358,6 +395,23 @@ final class SegmentSearcher(
         }(org.apache.spark.sql.Encoders.row(outSchema))
     }
   }
+
+  /** Multi-query batch on the segment path: comma-separated q, one result
+    * frame tagged by `qid` — same composition as the DataFrame path
+    * (reference DatabaseIndexer.java:476,689-691). Each sub-query runs the
+    * full envelope, so rank/sort/include options apply per query.
+    */
+  def multiSearch(qs: String): DataFrame =
+    QueryParser.splitOnCommas(qs).zipWithIndex
+      .map { case (q, idx) => searchEnvelope(q).withColumn("qid", lit(idx)) }
+      .reduce(_ unionByName _)
+
+  /** Per-term docFreq for a query on the segment path — reference
+    * `?rewrite=true` debug (DatabaseIndexer.java:489-504). Answered from
+    * the (memoized) driver-side stats lookup; no posting decode.
+    */
+  def rewriteDebug(q: String): Map[(String, String), Long] =
+    lookupStats(collectTerms(parse(q))).map { case (k, v) => k -> v.df }
 
   /** Top-k plus exact total matching docs from ONE distributed pass. */
   def topKWithTotal(q: String): (Seq[(Long, Double)], Long) = {

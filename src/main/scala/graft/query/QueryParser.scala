@@ -38,13 +38,29 @@ final class QueryParser(
   private def eof: Boolean = i >= s.length
 
   private def isTermChar(c: Char): Boolean =
-    !c.isWhitespace && !"():\"[]{}^~".contains(c)
+    !c.isWhitespace && !"():\"[]{}^~\\".contains(c)
 
-  private def readWord(): String = {
-    val start = i
-    while (i < s.length && isTermChar(s.charAt(i))) i += 1
-    s.substring(start, i)
+  import QueryParser.Word
+
+  private def readWordE(): Word = {
+    val sb = new StringBuilder
+    val esc = Set.newBuilder[Int]
+    var more = true
+    while (more && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        esc += sb.length
+        sb.append(s.charAt(i + 1))
+        i += 2
+      } else if (isTermChar(c)) {
+        sb.append(c)
+        i += 1
+      } else more = false
+    }
+    Word(sb.toString, esc.result())
   }
+
+  private def readWord(): String = readWordE().text
 
   private def readNumber(): Double = {
     val start = i
@@ -122,13 +138,15 @@ final class QueryParser(
       case '"' => parsePhrase(field)
       case '[' | '{' => parseRange(field, None)
       case _ =>
-        val word = readWord()
+        val wordE = readWordE()
+        val word = wordE.text
         require(word.nonEmpty, s"empty term at $i in '$s'")
-        // field prefix? `name:` or `name<type>:`
-        val (name, tpe) = splitTyped(word)
+        // field prefix? `name:` or `name<type>:` — an escaped colon stays
+        // inside the term (readWordE consumed it), so `url\:8080` is a term
         if (peek == ':') {
           i += 1
           skipWs()
+          val (name, tpe) = splitTyped(word)
           peek match {
             case '(' =>
               i += 1
@@ -138,10 +156,11 @@ final class QueryParser(
             case '"' => parsePhrase(name)
             case '[' | '{' => parseRange(name, tpe)
             case _ =>
-              val value = readWord()
+              val value = readWordE()
+              require(!value.isEmpty, s"empty term after '$name:' at $i in '$s'")
               termLike(name, tpe, value)
           }
-        } else termLike(field, None, word)
+        } else termLike(field, None, wordE)
     }
   }
 
@@ -157,10 +176,14 @@ final class QueryParser(
 
   private def parsePhrase(field: String): Query = {
     require(peek == '"'); i += 1
-    val start = i
-    while (i < s.length && s.charAt(i) != '"') i += 1
+    val sb = new StringBuilder
+    while (i < s.length && s.charAt(i) != '"') {
+      // `\"` embeds a quote; any other `\x` resolves to x
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
     require(i < s.length, "unterminated phrase")
-    val text = s.substring(start, i)
+    val text = sb.toString
     i += 1
     var slop = 0
     if (peek == '~') { i += 1; slop = readNumber().toInt }
@@ -190,7 +213,13 @@ final class QueryParser(
     }
   }
 
-  private def termLike(field: String, tpe: Option[String], raw: String): Query = {
+  private def termLike(field: String, tpe: Option[String], w: Word): Query = {
+    val raw = w.text
+    // only UNESCAPED '*'/'?' are wildcard metacharacters — `sp\*` is the
+    // literal term "sp*" (Lucene escape semantics)
+    def isWild(ix: Int): Boolean =
+      (raw.charAt(ix) == '*' || raw.charAt(ix) == '?') && !w.escaped(ix)
+    val wildIdx = raw.indices.filter(isWild)
     tpe match {
       case Some(t) => NumTermQ(field, t, parseTyped(t, raw))
       case None =>
@@ -199,10 +228,10 @@ final class QueryParser(
           i += 1
           val edits = if (peek.isDigit) readNumber().toInt else 2
           FuzzyQ(field, raw, edits)
-        } else if (raw.contains('*') || raw.contains('?')) {
-          require(allowLeadingWildcard || (!raw.startsWith("*") && !raw.startsWith("?")),
+        } else if (wildIdx.nonEmpty) {
+          require(allowLeadingWildcard || wildIdx.head != 0,
             "leading wildcard not allowed (lucene.allowLeadingWildcard=false)")
-          if (raw.endsWith("*") && !raw.dropRight(1).exists(c => c == '*' || c == '?'))
+          if (wildIdx == Seq(raw.length - 1) && raw.endsWith("*"))
             PrefixQ(field, raw.dropRight(1))
           else WildcardQ(field, raw)
         } else TermQ(field, raw)
@@ -217,6 +246,16 @@ final class QueryParser(
 }
 
 object QueryParser {
+  /** A lexed word with `\`-escapes resolved; `escaped` marks the output
+    * indices that came from an escape, so `\*`/`\?` are NOT wildcards
+    * downstream (Lucene classic syntax: `\` escapes ANY character,
+    * reference CustomQueryParserTest.java:96-100 — `foo\ bar:baz` is a
+    * term query on the field "foo bar").
+    */
+  private[query] final case class Word(text: String, escaped: Set[Int]) {
+    def isEmpty: Boolean = text.isEmpty
+  }
+
   /** The reference's 6 accepted date patterns
     * (couchdb/FieldType.java:207-208,229-238), UTC when zoneless.
     */

@@ -128,6 +128,12 @@ class AnalyzerSpec extends AnyFunSuite {
     // distinct analyzers must yield distinct digests (the ADVICE r3 bug:
     // NGram collapsed to "standard", hiding a spec change)
     assert(analyzerName(Analyzers.NGram()) !== analyzerName(Analyzers.Standard))
+    // NESTED parameterized ngram: the name must parse from the right, or a
+    // written spec fails at every later open/specChanged (ADVICE r4)
+    val nested = Analyzers.NGram(Analyzers.NGram(Analyzers.Whitespace, 1, 2), 2, 3)
+    assert(Analyzers.byName(analyzerName(nested)) === nested)
+    intercept[IllegalArgumentException](Analyzers.byName("ngram:standard:1"))
+    intercept[IllegalArgumentException](Analyzers.byName("ngram:standard:a:b"))
   }
 
   test("positions enable exact-phrase semantics across stop gaps") {

@@ -151,7 +151,15 @@ class EngineSpec extends SparkSpec {
     assert(sorts.head.field === "n_chars" && !sorts.head.ascending)
     val idx = Engine.documentsIndex(spark, sfDir)
     val s = new Searcher(idx, SearchOptions(limit = 5, sort = sorts))
-    val rows = s.search("spark").select("sort_0").collect().map(_.getLong(0))
-    assert(rows.toSeq === rows.sortBy(-_).toSeq)
+    // typed key: sort_0 is the <long> cast (double ordering column);
+    // sort_order carries both keys rendered as strings (round 5)
+    val rows = s.search("spark").orderBy(col("rank"))
+      .select(col("sort_0"), col("sort_order")).collect()
+      .map(r => (r.getDouble(0), r.getSeq[String](1)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sortBy(-_).toSeq)
+    rows.foreach { case (k, so) =>
+      assert(so.length === 2)
+      assert(so.head === k.toLong.toString)
+    }
   }
 }

@@ -158,4 +158,41 @@ class QueryParserSpec extends AnyFunSuite {
       assert(freqs.last <= positions.head.length)
     }
   }
+
+  // ---- `\`-escapes (round 5): Lucene classic lets `\` escape ANY char;
+  // the reference's own test queries a field name containing a space
+  // (CustomQueryParserTest.java:96-100, fieldNameWithEscapedSpaces)
+
+  test("escaped space makes a field name with a space") {
+    assert(p("foo\\ bar:baz") === TermQ("foo bar", "baz"))
+  }
+
+  test("escaped colon stays inside the term") {
+    assert(p("url\\:8080") === TermQ("default", "url:8080"))
+  }
+
+  test("escaped tilde / caret are literal term chars") {
+    assert(p("a\\~b") === TermQ("default", "a~b"))
+    assert(p("a\\^2") === TermQ("default", "a^2"))
+  }
+
+  test("escaping an ordinary char is a no-op") {
+    assert(p("du\\p") === TermQ("default", "dup"))
+  }
+
+  test("escaped wildcard chars are NOT wildcards") {
+    assert(p("sp\\*") === TermQ("default", "sp*"))
+    assert(p("fi\\?le") === TermQ("default", "fi?le"))
+    // unescaped trailing * still a prefix even with an escaped one inside
+    assert(p("a\\?b*") === PrefixQ("default", "a?b"))
+  }
+
+  test("escaped quote embeds in a phrase") {
+    assert(p("\"say \\\"hi\\\" now\"") ===
+      PhraseQ("default", Seq("say", "\"hi\"", "now"), 0))
+  }
+
+  test("escaped value after a field prefix") {
+    assert(p("source:src\\ 3") === TermQ("source", "src 3"))
+  }
 }
