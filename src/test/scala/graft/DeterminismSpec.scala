@@ -41,4 +41,20 @@ class DeterminismSpec extends SparkSpec {
       assert(text === expected, s"text mismatch at rank $i")
     }
   }
+
+  test("docID count pass engages the pre-sort exchange RDD (round 5)") {
+    // the count-pass optimization (skip the Tungsten sort when counting)
+    // depends on finding the range exchange in the sorted RDD's lineage —
+    // this pins that the walk works on the exact plan DocIds.assign builds,
+    // so a Spark upgrade can't silently fall back to the sorted pass
+    val keys = Seq(col("conv_id"), col("turn_idx"))
+    val sorted = TranscriptGen.transcripts(spark, 20).toDF()
+      .repartitionByRange(8, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val rdd = sorted.rdd
+    val anc = DocIds.shuffledAncestor(rdd)
+    assert(anc.nonEmpty, "no shuffle ancestor found — count pass falls back to the sorted RDD")
+    assert(anc.get.getNumPartitions === rdd.getNumPartitions)
+    assert(anc.get ne rdd)
+  }
 }
