@@ -67,31 +67,12 @@ final class SegmentSearcher(
     case _ => Nil
   }
 
-  private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), TermStats] = {
-    // snapshot the cache ONCE; answer from the snapshot or the fresh scan,
-    // never from a post-put re-read — an entry evicted by a concurrent
-    // query between put and read would otherwise score a real term as
-    // absent with no error (ADVICE r4)
-    val distinct = terms.distinct
-    val cached = distinct.map(k => k -> si.statsCache.get(k)).toMap
-    val missing = distinct.filter(k => cached(k).isEmpty)
-    val found: Map[(String, String), TermStats] =
-      if (missing.isEmpty) Map.empty
-      else {
-        val cond = missing
-          .map { case (f, t) => (col("field") === f) && (col("term") === t) }
-          .reduce(_ || _)
-        val f = si.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
-        missing.foreach(k => si.statsCache.put(k, f.get(k)))
-        f
-      }
-    distinct.flatMap { k =>
-      cached(k) match {
-        case Some(opt) => opt.map(k -> _) // cache hit: present or known-absent
-        case None => found.get(k).map(k -> _) // freshly scanned this call
-      }
-    }.toMap
-  }
+  /** Memoized driver-side term-stats lookup — the shared
+    * [[graft.index.StatsLookup]] kernel (one definition with the DataFrame
+    * path).
+    */
+  private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), TermStats] =
+    StatsLookup.lookup(si.statsCache, si.termStats, terms)
 
   /** Multi-term expansion: predicate pushed into the termStats scan, capped
     * at MaxClauseCount — never collects the dictionary to the driver (the
@@ -295,16 +276,12 @@ final class SegmentSearcher(
     * side is ≤ skip+limit rows, so the fetch-back is a broadcast join.
     */
   def searchEnvelope(q: String): DataFrame = {
-    import graft.query.SortField
     val k = opts.skip + opts.limit
     def needStored(what: String): DataFrame = si.stored.getOrElse(throw
       new UnsupportedOperationException(
         s"$what on the segment path needs the stored sidecar — " +
           "build the index with SegmentStore.build(..., storedColumns = ...)"))
-    val fieldSorts = opts.sort.zipWithIndex
-    val ext = fieldSorts.collect {
-      case (SortField(f, tpe, _), i) if f != "_score" && f != "_doc" => (f, tpe, i)
-    }
+    val ext = graft.query.Searcher.externalSorts(opts.sort)
     // The per-shard score-pruned top-k base is valid ONLY for the default
     // ranking (score desc): any other requested order — field sort, /_doc,
     // ascending _score — must rank the FULL match set, or the global
@@ -318,22 +295,11 @@ final class SegmentSearcher(
         scoredMatches(q, None, exhaustive = true).join(
           needStored("field sort").select(
             col("docId").cast("long").as("docId") +:
-              ext.flatMap { case (f, tpe, i) => Seq(
-                graft.query.Searcher.sortKeyCol(f, tpe).as(s"sort_$i"),
-                graft.query.Searcher.sortDisplayCol(f, tpe).as(s"sortv_$i")) }: _*),
+              graft.query.Searcher.sortSideCols(ext): _*),
           Seq("docId"))
       else if (defaultOrder) scoredMatches(q, None)
       else scoredMatches(q, None, exhaustive = true)
-    val sortCols =
-      if (opts.sort.isEmpty) Seq(col("score").desc, col("docId").asc)
-      else fieldSorts.map { case (SortField(f, _, asc), i) =>
-        val c = f match {
-          case "_score" => col("score")
-          case "_doc" => col("docId")
-          case _ => col(s"sort_$i")
-        }
-        if (asc) c.asc else c.desc
-      } :+ col("docId").asc
+    val sortCols = graft.query.Searcher.sortColumns(opts.sort)
     val ordered = base.orderBy(sortCols: _*).limit(k)
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
     val ranked0 = ordered.withColumn("rank", row_number().over(w)).filter(col("rank") > opts.skip)
@@ -341,13 +307,7 @@ final class SegmentSearcher(
     // DatabaseIndexer.java:597-608) — same rendering as the DataFrame path
     val ranked =
       if (opts.sort.isEmpty) ranked0
-      else ranked0.withColumn("sort_order", array(fieldSorts.map {
-        case (SortField(f, _, _), i) => f match {
-          case "_score" => col("score").cast("string")
-          case "_doc" => col("docId").cast("string")
-          case _ => col(s"sortv_$i")
-        }
-      }: _*))
+      else ranked0.withColumn("sort_order", graft.query.Searcher.sortOrderCol(opts.sort))
     val withDocs = if (opts.includeDocs || opts.includeFields.nonEmpty) {
       val stored = needStored("include_fields/include_docs")
       val cols: Seq[org.apache.spark.sql.Column] =
@@ -402,9 +362,13 @@ final class SegmentSearcher(
     * full envelope, so rank/sort/include options apply per query.
     */
   def multiSearch(qs: String): DataFrame =
-    QueryParser.splitOnCommas(qs).zipWithIndex
-      .map { case (q, idx) => searchEnvelope(q).withColumn("qid", lit(idx)) }
-      .reduce(_ unionByName _)
+    {
+      val parts = QueryParser.splitOnCommas(qs)
+      require(parts.nonEmpty, s"multiSearch needs at least one query in '$qs'")
+      parts.zipWithIndex
+        .map { case (q, idx) => searchEnvelope(q).withColumn("qid", lit(idx)) }
+        .reduce(_ unionByName _)
+    }
 
   /** Per-term docFreq for a query on the segment path — reference
     * `?rewrite=true` debug (DatabaseIndexer.java:489-504). Answered from

@@ -30,6 +30,48 @@ final case class Posting(
   */
 final case class TermStats(field: String, term: String, df: Long, cf: Long)
 
+/** Driver-side lookup of a query's term stats against a termStats dataset,
+  * memoized through an [[LruCache]] — ONE definition shared by the
+  * DataFrame and segment paths so their cache semantics can't diverge
+  * (the same single-kernel rule as TermExpansion/PhraseMatch). Bounded by
+  * query size; the same shape as Lucene resolving TermStates before
+  * scoring.
+  */
+object StatsLookup {
+  /** Snapshot the cache ONCE; answer each key from the snapshot or the
+    * fresh scan, never from a post-put re-read — an entry evicted by a
+    * concurrent query between put and read would otherwise score a real
+    * term as absent with no error (ADVICE r4). A cached `Some(None)` is a
+    * known-absent term; an uncached miss triggers one predicate-pushed
+    * scan for ALL missing keys together.
+    */
+  def lookup(
+      cache: LruCache[(String, String), Option[TermStats]],
+      termStats: org.apache.spark.sql.Dataset[TermStats],
+      terms: Seq[(String, String)]): Map[(String, String), TermStats] = {
+    import org.apache.spark.sql.functions.col
+    val distinct = terms.distinct
+    val cached = distinct.map(k => k -> cache.get(k)).toMap
+    val missing = distinct.filter(k => cached(k).isEmpty)
+    val found: Map[(String, String), TermStats] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val cond = missing
+          .map { case (f, t) => (col("field") === f) && (col("term") === t) }
+          .reduce(_ || _)
+        val f = termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
+        missing.foreach(k => cache.put(k, f.get(k)))
+        f
+      }
+    distinct.flatMap { k =>
+      cached(k) match {
+        case Some(opt) => opt.map(k -> _) // cache hit: present or known-absent
+        case None => found.get(k).map(k -> _) // freshly scanned this call
+      }
+    }.toMap
+  }
+}
+
 /** Per-field corpus statistics for BM25: number of docs with the field and
   * average field length.
   */

@@ -42,12 +42,31 @@ object QueryBind {
     go(q)
   }
 
-  /** Wildcard glob → anchored Java regex (shared by both executors). */
-  def wildcardRegex(pat: String): String =
-    "^" + pat.flatMap {
-      case '*' => ".*"
-      case '?' => "."
-      case c if "\\.[]{}()^$|+".contains(c) => "\\" + c
-      case c => c.toString
-    } + "$"
+  /** Wildcard glob → anchored Java regex (shared by both executors).
+    * `\x` in the pattern is the LITERAL x — the parser re-escapes a term's
+    * escaped '*'/'?' so they survive this compilation as literals
+    * (Lucene WildcardQuery.toAutomaton handles `\` the same way).
+    */
+  def wildcardRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      if (c == '\\' && i + 1 < pat.length) {
+        val n = pat.charAt(i + 1)
+        if ("\\.[]{}()^$|+*?".contains(n)) sb.append('\\')
+        sb.append(n)
+        i += 2
+      } else {
+        c match {
+          case '*' => sb.append(".*")
+          case '?' => sb.append('.')
+          case x if "\\.[]{}()^$|+".contains(x) => sb.append('\\').append(x)
+          case x => sb.append(x)
+        }
+        i += 1
+      }
+    }
+    sb.append('$').toString
+  }
 }

@@ -146,7 +146,7 @@ final class QueryParser(
         if (peek == ':') {
           i += 1
           skipWs()
-          val (name, tpe) = splitTyped(word)
+          val (name, tpe) = splitTyped(wordE)
           peek match {
             case '(' =>
               i += 1
@@ -168,9 +168,15 @@ final class QueryParser(
     if (peek == '^') { i += 1; BoostQ(q, readNumber()) } else q
   }
 
-  private def splitTyped(word: String): (String, Option[String]) = {
-    val lt = word.indexOf('<')
-    if (lt > 0 && word.endsWith(">")) (word.substring(0, lt), Some(word.substring(lt + 1, word.length - 1)))
+  /** Only an UNESCAPED `<type>` suffix is typed-field syntax — `foo\<int\>`
+    * is the literal field name "foo<int>", not a typed query on "foo".
+    */
+  private def splitTyped(w: Word): (String, Option[String]) = {
+    val word = w.text
+    def unesc(ix: Int, c: Char) = word.charAt(ix) == c && !w.escaped(ix)
+    val lt = word.indices.find(unesc(_, '<')).getOrElse(-1)
+    if (lt > 0 && unesc(word.length - 1, '>'))
+      (word.substring(0, lt), Some(word.substring(lt + 1, word.length - 1)))
     else (word, None)
   }
 
@@ -233,7 +239,17 @@ final class QueryParser(
             "leading wildcard not allowed (lucene.allowLeadingWildcard=false)")
           if (wildIdx == Seq(raw.length - 1) && raw.endsWith("*"))
             PrefixQ(field, raw.dropRight(1))
-          else WildcardQ(field, raw)
+          else {
+            // re-insert `\` before ESCAPED '*'/'?' so the shared wildcard
+            // compiler (QueryBind.wildcardRegex) keeps them literal — the
+            // Word.escaped set doesn't survive past this boundary, and
+            // `fi\?le*x` must not match "fiXle…" at position 2
+            val pat = raw.indices.map { ix =>
+              val c = raw.charAt(ix)
+              if ((c == '*' || c == '?') && w.escaped(ix)) s"\\$c" else c.toString
+            }.mkString
+            WildcardQ(field, pat)
+          }
         } else TermQ(field, raw)
     }
   }

@@ -82,29 +82,14 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     // collisions); scores still computed, un-normalized (reference
     // DatabaseIndexer.java:594-608). Default sort: score desc, docId asc
     // (Lucene tie-break).
-    val (prepared, sortCols) =
-      if (opts.sort.isEmpty) (hits, Seq(col("score").desc, col("docId").asc))
-      else {
-        val fieldSorts = opts.sort.zipWithIndex
-        val ext = fieldSorts.collect { case (SortField(f, tpe, _), i) if f != "_score" && f != "_doc" => (f, tpe, i) }
-        val joined =
-          if (ext.isEmpty) hits
-          else hits.join(
-            index.docs.select(col(docIdCol).cast("long").as("docId") +:
-              ext.flatMap { case (f, tpe, i) => Seq(
-                Searcher.sortKeyCol(f, tpe).as(s"sort_$i"),
-                Searcher.sortDisplayCol(f, tpe).as(s"sortv_$i")) }: _*),
-            Seq("docId"))
-        val cols = fieldSorts.map { case (SortField(f, _, asc), i) =>
-          val c = f match {
-            case "_score" => col("score")
-            case "_doc" => col("docId")
-            case _ => col(s"sort_$i")
-          }
-          if (asc) c.asc else c.desc
-        } :+ col("docId").asc
-        (joined, cols)
-      }
+    val sortCols = Searcher.sortColumns(opts.sort)
+    val ext = Searcher.externalSorts(opts.sort)
+    val prepared =
+      if (ext.isEmpty) hits
+      else hits.join(
+        index.docs.select(col(docIdCol).cast("long").as("docId") +:
+          Searcher.sortSideCols(ext): _*),
+        Seq("docId"))
     // skip/limit pagination (reference DatabaseIndexer.java:515-543):
     // fetch skip+limit via TakeOrderedAndProject, then window the tiny
     // (≤ skip+limit row) result locally to drop the first `skip`.
@@ -115,13 +100,7 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     // values when the search was field-sorted (DatabaseIndexer.java:597-608)
     val ranked =
       if (opts.sort.isEmpty) ranked0
-      else ranked0.withColumn("sort_order", array(opts.sort.zipWithIndex.map {
-        case (SortField(f, _, _), i) => f match {
-          case "_score" => col("score").cast("string")
-          case "_doc" => col("docId").cast("string")
-          case _ => col(s"sortv_$i")
-        }
-      }: _*))
+      else ranked0.withColumn("sort_order", Searcher.sortOrderCol(opts.sort))
     val withDocs =
       if (opts.includeDocs || opts.includeFields.nonEmpty) {
         // include_docs fetch-back = broadcast equi-join of the ≤k hit ids
@@ -177,9 +156,13 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     * column (reference DatabaseIndexer.java:476,689-691).
     */
   def multiSearch(qs: String): DataFrame =
-    QueryParser.splitOnCommas(qs).zipWithIndex
-      .map { case (q, idx) => search(q).withColumn("qid", lit(idx)) }
-      .reduce(_ unionByName _)
+    {
+      val parts = QueryParser.splitOnCommas(qs)
+      require(parts.nonEmpty, s"multiSearch needs at least one query in '$qs'")
+      parts.zipWithIndex
+        .map { case (q, idx) => search(q).withColumn("qid", lit(idx)) }
+        .reduce(_ unionByName _)
+    }
 
   /** Per-term docFreq for a query — reference `?rewrite=true` debug
     * (DatabaseIndexer.java:489-504).
@@ -214,35 +197,12 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
     case _ => Nil
   }
 
-  /** Driver-side lookup of the query terms' stats — bounded by query size,
-    * the same shape as Lucene resolving TermStates before scoring; memoized
-    * per index so repeated queries pay no lookup job.
+  /** Memoized driver-side term-stats lookup — the shared
+    * [[graft.index.StatsLookup]] kernel (one definition with the segment
+    * path).
     */
-  private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), graft.index.TermStats] = {
-    // snapshot the cache ONCE; keys looked up this call are answered from
-    // the snapshot or the fresh scan, never from a post-put re-read — an
-    // entry evicted by a concurrent query between put and read would
-    // otherwise score a real term as absent with no error (ADVICE r4)
-    val distinct = terms.distinct
-    val cached = distinct.map(k => k -> index.statsCache.get(k)).toMap
-    val missing = distinct.filter(k => cached(k).isEmpty)
-    val found: Map[(String, String), graft.index.TermStats] =
-      if (missing.isEmpty) Map.empty
-      else {
-        val cond = missing
-          .map { case (f, t) => (col("field") === f) && (col("term") === t) }
-          .reduce(_ || _)
-        val f = index.termStats.filter(cond).collect().map(s => (s.field, s.term) -> s).toMap
-        missing.foreach(k => index.statsCache.put(k, f.get(k)))
-        f
-      }
-    distinct.flatMap { k =>
-      cached(k) match {
-        case Some(opt) => opt.map(k -> _) // cache hit: present or known-absent
-        case None => found.get(k).map(k -> _) // freshly scanned this call
-      }
-    }.toMap
-  }
+  private def lookupStats(terms: Seq[(String, String)]): Map[(String, String), graft.index.TermStats] =
+    graft.index.StatsLookup.lookup(index.statsCache, index.termStats, terms)
 
   // ---------------- execution ------------------------------------------
 
@@ -461,6 +421,53 @@ object Searcher {
     case Some("date") => unix_millis(col(f).cast("timestamp")).cast("string")
     case Some(other) => throw new IllegalArgumentException(s"unknown sort type <$other>")
   }
+
+  /** The requested sort's external (non-`_score`/`_doc`) fields with their
+    * positional index — these need sort keys joined from the doc table /
+    * stored sidecar. Shared by both executors.
+    */
+  def externalSorts(sort: Seq[SortField]): Seq[(String, Option[String], Int)] =
+    sort.zipWithIndex.collect {
+      case (SortField(f, tpe, _), i) if f != "_score" && f != "_doc" => (f, tpe, i)
+    }
+
+  /** Join-side columns carrying each external sort's typed ordering key
+    * (`sort_i`) and its envelope rendering (`sortv_i`).
+    */
+  def sortSideCols(ext: Seq[(String, Option[String], Int)]): Seq[Column] =
+    ext.flatMap { case (f, tpe, i) => Seq(
+      sortKeyCol(f, tpe).as(s"sort_$i"),
+      sortDisplayCol(f, tpe).as(s"sortv_$i")) }
+
+  /** Ordering columns for the requested sort, docId tie-break appended
+    * (Lucene's doc tie-break); default is relevance (score desc). ONE
+    * definition for both executors — the ranking contract must be
+    * identical on the DataFrame and segment paths (shared oracles).
+    */
+  def sortColumns(sort: Seq[SortField]): Seq[Column] =
+    if (sort.isEmpty) Seq(col("score").desc, col("docId").asc)
+    else sort.zipWithIndex.map { case (SortField(f, _, asc), i) =>
+      val c = f match {
+        case "_score" => col("score")
+        case "_doc" => col("docId")
+        case _ => col(s"sort_$i")
+      }
+      if (asc) c.asc else c.desc
+    } :+ col("docId").asc
+
+  /** Per-row `sort_order` array — the reference returns each FieldDoc's
+    * sort key values when the search was field-sorted
+    * (DatabaseIndexer.java:597-608). Rendering must match the shared
+    * oracles on both paths.
+    */
+  def sortOrderCol(sort: Seq[SortField]): Column =
+    array(sort.zipWithIndex.map { case (SortField(f, _, _), i) =>
+      f match {
+        case "_score" => col("score").cast("string")
+        case "_doc" => col("docId").cast("string")
+        case _ => col(s"sortv_$i")
+      }
+    }: _*)
 
   /** Predicate Column for a typed point/range query over doc values. */
   def docValuePred(q: Query): Column = q match {

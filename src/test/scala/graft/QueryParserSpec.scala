@@ -187,6 +187,25 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("a\\?b*") === PrefixQ("default", "a?b"))
   }
 
+  test("escaped wildcard mixed with a real one stays literal in the pattern") {
+    // `fi\?le*x`: the '?' is literal, the '*' is a wildcard — the pattern
+    // keeps `\?` so the shared regex compiler doesn't resurrect it
+    assert(p("fi\\?le*x") === WildcardQ("default", "fi\\?le*x"))
+    assert(p("a\\*b*c") === WildcardQ("default", "a\\*b*c"))
+    val re = QueryBind.wildcardRegex("fi\\?le*x")
+    assert(re === "^fi\\?le.*x$")
+    assert("fi?leAAx".matches(re))
+    assert(!"fiXleAAx".matches(re))
+    val re2 = QueryBind.wildcardRegex("a\\*b*c")
+    assert("a*bZZc".matches(re2) && !"aXbZZc".matches(re2))
+  }
+
+  test("escaped angle brackets are NOT typed-field syntax") {
+    assert(p("foo\\<int\\>:9") === TermQ("foo<int>", "9"))
+    // the unescaped form still parses typed
+    assert(p("foo<int>:9") === NumTermQ("foo", "int", 9.0))
+  }
+
   test("escaped quote embeds in a phrase") {
     assert(p("\"say \\\"hi\\\" now\"") ===
       PhraseQ("default", Seq("say", "\"hi\"", "now"), 0))

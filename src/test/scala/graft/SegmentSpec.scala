@@ -204,6 +204,14 @@ class SegmentSpec extends SparkSpec {
     val dfs = ss.rewriteDebug("hello world")
     val want = new Searcher(dfIndex, SearchOptions(limit = 5)).rewriteDebug("hello world")
     assert(dfs === want)
+    // an all-empty q parameter fails loudly, not with `empty.reduce`
+    Seq("", " , ,").foreach { bad =>
+      val e = intercept[IllegalArgumentException](ss.multiSearch(bad))
+      assert(e.getMessage.contains("at least one query"))
+      val e2 = intercept[IllegalArgumentException](
+        new Searcher(dfIndex, SearchOptions(limit = 5)).multiSearch(bad))
+      assert(e2.getMessage.contains("at least one query"))
+    }
   }
 
   test("per-partition lineage rows with row/term/byte metrics exist and reconcile") {
