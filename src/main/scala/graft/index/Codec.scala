@@ -108,18 +108,54 @@ object Codec {
     private val dlB = new ByteWriter(256)
     private val posB = new ByteWriter(1024)
 
-    /** Encode `len` postings from the parallel arrays into blocks. */
+    /** Encode `len` postings from the parallel arrays into blocks, bounding
+      * each block's tf-norm against the fixed reference `avgdl`.
+      */
     def encode(
         docIds: Array[Long],
         tfs: Array[Int],
         dls: Array[Int],
         poss: Array[Array[Int]],
         len: Int,
-        avgdl: Double): Vector[Block] = {
+        avgdl: Double): Vector[Block] = encodeImpl(docIds, tfs, dls, poss, len, avgdl)
+
+    /** Encode with a BLOCK-LOCAL reference avgdl (the block's own mean dl).
+      * Scorers already inflate each block's bound by `max(1, q/encAvgdl)`
+      * against the live avgdl q (see [[Block.encAvgdl]] — the mechanism
+      * that keeps WAND sound across incremental generations), so the bound
+      * stays sound for ANY reference point. This decouples encoding from
+      * global field stats entirely: the build can encode segments in its
+      * FIRST corpus pass and derive df/cf/avgdl from segment metadata
+      * afterwards, instead of paying a whole stats pass up front.
+      */
+    def encodeLocal(
+        docIds: Array[Long],
+        tfs: Array[Int],
+        dls: Array[Int],
+        poss: Array[Array[Int]],
+        len: Int): Vector[Block] = encodeImpl(docIds, tfs, dls, poss, len, Double.NaN)
+
+    private def encodeImpl(
+        docIds: Array[Long],
+        tfs: Array[Int],
+        dls: Array[Int],
+        poss: Array[Array[Int]],
+        len: Int,
+        fixedAvgdl: Double): Vector[Block] = {
       val blocks = Vector.newBuilder[Block]
       var s = 0
       while (s < len) {
         val e = math.min(s + BlockSize, len)
+        val avgdl =
+          if (!fixedAvgdl.isNaN) fixedAvgdl
+          else {
+            // block-local reference point: the block's own mean dl (dl ≥ 1
+            // for every real posting, so the mean is positive)
+            var sum = 0L
+            var i = s
+            while (i < e) { sum += dls(i); i += 1 }
+            sum.toDouble / (e - s)
+          }
         docB.reset(); tfB.reset(); dlB.reset(); posB.reset()
         var prev = docIds(s)
         writeVLong(docB, prev) // first docId absolute
@@ -176,6 +212,14 @@ object Codec {
     val enc = new RunEncoder
     enc.encode(buf.map(_.docId), buf.map(_.tf), buf.map(_.dl), buf.map(_.positions),
       buf.length, avgdl)
+  }
+
+  /** Block-local-avgdl variant of [[encode]] (see [[RunEncoder.encodeLocal]]). */
+  def encodeLocal(run: Iterator[Decoded]): Vector[Block] = {
+    val buf = run.toArray
+    val enc = new RunEncoder
+    enc.encodeLocal(buf.map(_.docId), buf.map(_.tf), buf.map(_.dl), buf.map(_.positions),
+      buf.length)
   }
 
   // ---- decode ----------------------------------------------------------

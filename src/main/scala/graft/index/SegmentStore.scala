@@ -92,11 +92,17 @@ object SegmentStore {
     * that stage (kill-between-stages test, SURVEY.md §5.2).
     *
     * Serial-tax design (the N→4N scaling criterion measures exactly this):
-    * the whole build is 3 corpus-scale jobs — the docID/count pass the
-    * caller ran, ONE combined stats aggregation (field stats are the
-    * marker rows' own (field, term="") group of the same salted agg — no
-    * second cache scan), and ONE encode+write job whose per-partition
-    * lineage comes back through an accumulator instead of a read-back agg.
+    * the whole build is 2 corpus-scale jobs — the docID/count pass the
+    * caller ran, and ONE tokenize→shuffle→encode+write job whose
+    * per-partition lineage comes back through an accumulator instead of a
+    * read-back agg. Term/field stats are DERIVED from the encoded segment
+    * rows afterwards (df/cf per (shard, field, term) ride on every row;
+    * dl-marker runs become stats-only rows carrying per-shard
+    * (docCount, Σdl)) — the Lucene per-segment-stats fold, expressed as a
+    * vocab×shards metadata aggregation over a column-pruned read of the
+    * just-written parquet, NOT a second tokenize of the corpus. Block-max
+    * bounds use block-local encAvgdl (see [[Codec.RunEncoder.encodeLocal]]),
+    * which is what breaks the old stats→encode ordering dependency.
     * avgdl and docCount flow driver-side in memory; parquet read-backs
     * happen only on the (rare) resume path.
     */
@@ -140,60 +146,23 @@ object SegmentStore {
     }
     failpoint("stored")
 
-    // Tokenize ONCE: both remaining stages aggregate the same cached
-    // postings — corpus scans are the dominant cost at scale, so the build
-    // reads the source exactly one time; field lengths ride along as marker
-    // rows so no doc-level shuffle is needed for avgdl.
+    // ONE corpus-scale job: tokenize (markers included) → shard shuffle →
+    // encode → write. The build reads AND shuffles the source exactly one
+    // time; stats are derived from the encoded rows below. (The round-4
+    // persist-vs-recompute dilemma — cache postings between a stats pass
+    // and an encode pass, or tokenize twice — is gone: there is only one
+    // consumer now.)
     val needStats = !stageDone(dir, "stats")
     val needSegments = !stageDone(dir, "segments")
-    // Postings between the two consumers: CACHE (one tokenize, heavy
-    // block-manager write+read of every posting incl. positions) vs
-    // RECOMPUTE (tokenize twice, no cache traffic). Tokenization is pure
-    // per-core CPU and scales with cores; the cache's memory bandwidth does
-    // not — on a bandwidth-capped host the persist is what pins the wide
-    // build (round-4 scaling study). Default: recompute.
-    val usePersist = sys.env.get("GRAFT_BUILD_PERSIST").contains("1")
-    lazy val withMarkers = {
-      val p = IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
-      if (needStats && needSegments && usePersist)
-        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else p
-    }
-    lazy val postings = withMarkers.filter(_.term != IndexBuilder.DlMarker)
-
-    var fieldStatsMem: Option[Seq[FieldStats]] = None
-    if (needStats) {
-      Timing.timed("build.stats") {
-        // ONE salted aggregation over postings AND marker rows: the marker
-        // term's groups ARE the field stats (df = docCount, cf = Σdl), so
-        // avgdl costs no second pass and no read-back
-        val agg = IndexBuilder.termStats(withMarkers).persist()
-        agg.filter(_.term != IndexBuilder.DlMarker)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-        val fsRows = agg.filter(_.term == IndexBuilder.DlMarker).collect()
-          .map(ts => FieldStats(ts.field, ts.df, ts.cf.toDouble / ts.df)).toIndexedSeq
-        agg.unpersist(blocking = false)
-        spark.createDataset(fsRows)
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
-        fieldStatsMem = Some(fsRows)
-        commitStage(dir, "stats",
-          Map("docCount" -> fsRows.map(_.docCount).maxOption.getOrElse(0L)))
-      }
-    }
-    failpoint("stats")
 
     if (needSegments) {
-      val fsRows = fieldStatsMem.getOrElse {
-        // resume path only: stats stage committed by an earlier run
-        spark.read.parquet(s"$dir/fieldstats").as[FieldStats].collect().toIndexedSeq
-      }
-      val avgdls = fsRows.map(fs => fs.field -> fs.avgdl).toMap
       Timing.timed("build.encode") {
+        val withMarkers = IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
         // per-partition lineage rides back on an accumulator — the round-2
         // build re-read the committed segments for a metadata agg (a pure
         // driver-synchronized second job)
         val linAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
-        encodeSegments(postings, avgdls, docsPerShard, Some(linAcc))
+        encodeSegments(withMarkers, docsPerShard, Some(linAcc))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
         // dedupe by pid: a speculative/retried task may report twice; the
         // rows are deterministic per partition so first-wins is exact
@@ -208,8 +177,34 @@ object SegmentStore {
             "postingsIn" -> rows.map(_.rowsIn).sum))
       }
     }
-    if (needStats && needSegments && usePersist) withMarkers.unpersist(blocking = false)
     failpoint("segments")
+
+    var fieldStatsMem: Option[Seq[FieldStats]] = None
+    if (needStats) {
+      Timing.timed("build.stats") {
+        // per-segment stats fold: vocab×shards METADATA rows, column-pruned
+        // off the just-written parquet (blocks never read) — sums of longs,
+        // so the totals are bit-identical to a direct postings aggregation
+        val seg = spark.read.parquet(s"$dir/segments")
+          .select(col("field"), col("term"), col("df"), col("cf"))
+        seg.filter(col("term") =!= IndexBuilder.DlMarker)
+          .groupBy(col("field"), col("term"))
+          .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+          .as[TermStats]
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
+        // marker rows: per-shard (docCount, Σdl) → global docCount + avgdl
+        val fsRows = seg.filter(col("term") === IndexBuilder.DlMarker)
+          .groupBy(col("field"))
+          .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"))
+          .as[FieldStats].collect().toIndexedSeq
+        spark.createDataset(fsRows)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
+        fieldStatsMem = Some(fsRows)
+        commitStage(dir, "stats",
+          Map("docCount" -> fsRows.map(_.docCount).maxOption.getOrElse(0L)))
+      }
+    }
+    failpoint("stats")
     fieldStatsMem.map(_.map(_.docCount).maxOption.getOrElse(0L))
       .orElse(stageMetric(dir, "stats", "docCount"))
       .getOrElse(0L)
@@ -299,12 +294,10 @@ object SegmentStore {
     */
   def encodeSegments(
       postings: Dataset[Posting],
-      avgdls: Map[String, Double],
       docsPerShard: Long,
       lineageAcc: Option[org.apache.spark.util.CollectionAccumulator[LineageRow]] = None): Dataset[SegmentRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val bcAvgdl = spark.sparkContext.broadcast(avgdls)
     val parts = spark.sessionState.conf.numShufflePartitions
     // hash-partition by shard (shard sizes are bounded by docsPerShard, so
     // the layout is balanced by construction — no range-sampling pass), then
@@ -317,7 +310,6 @@ object SegmentStore {
 
     val encodeFn = (it: Iterator[(String, String, Long, Int, Array[Int], Int, Int)]) => {
       val pid = TaskContext.getPartitionId()
-      val avg = bcAvgdl.value
       val src = it.buffered
       // reusable run buffers + encoder per task (VERDICT r3 #1b): the
       // round-3 version built a Vector[Decoded] per run — one boxed object
@@ -340,25 +332,46 @@ object SegmentStore {
         def hasNext: Boolean = src.hasNext
         def next(): SegmentRow = {
           val (field, term, _, _, _, _, shard) = src.head
-          var n = 0
-          var cf = 0L
-          var minDoc = Long.MaxValue
-          var maxDoc = Long.MinValue
-          while (src.hasNext && src.head._1 == field &&
-            src.head._2 == term && src.head._7 == shard) {
-            val (_, _, docId, tf, positions, dl, _) = src.next()
-            if (n == cap) grow()
-            docIds(n) = docId; tfs(n) = tf; dls(n) = dl; poss(n) = positions
-            n += 1
-            cf += tf
-            if (docId < minDoc) minDoc = docId
-            if (docId > maxDoc) maxDoc = docId
+          if (term == IndexBuilder.DlMarker) {
+            // dl-marker run → STATS-ONLY segment row, no blocks: markers
+            // carry tf = dl per (doc, field), so this run's (df, cf) IS the
+            // shard's (docCount, Σdl) for the field. The stats stage folds
+            // these rows into fieldstats — field stats ride the encode
+            // shuffle for free instead of paying their own corpus pass.
+            var n = 0L
+            var cf = 0L
+            var minDoc = Long.MaxValue
+            var maxDoc = Long.MinValue
+            while (src.hasNext && src.head._1 == field &&
+              src.head._2 == term && src.head._7 == shard) {
+              val (_, _, docId, tf, _, _, _) = src.next()
+              n += 1
+              cf += tf
+              if (docId < minDoc) minDoc = docId
+              if (docId > maxDoc) maxDoc = docId
+            }
+            SegmentRow(shard, field, term, n, cf, minDoc, maxDoc, 0L, pid, Vector.empty)
+          } else {
+            var n = 0
+            var cf = 0L
+            var minDoc = Long.MaxValue
+            var maxDoc = Long.MinValue
+            while (src.hasNext && src.head._1 == field &&
+              src.head._2 == term && src.head._7 == shard) {
+              val (_, _, docId, tf, positions, dl, _) = src.next()
+              if (n == cap) grow()
+              docIds(n) = docId; tfs(n) = tf; dls(n) = dl; poss(n) = positions
+              n += 1
+              cf += tf
+              if (docId < minDoc) minDoc = docId
+              if (docId > maxDoc) maxDoc = docId
+            }
+            val blocks = enc.encodeLocal(docIds, tfs, dls, poss, n)
+            var bytes = 0L
+            blocks.foreach(b => bytes +=
+              b.docBytes.length + b.tfBytes.length + b.dlBytes.length + b.posBytes.length)
+            SegmentRow(shard, field, term, n.toLong, cf, minDoc, maxDoc, bytes, pid, blocks)
           }
-          val blocks = enc.encode(docIds, tfs, dls, poss, n, avg(field))
-          var bytes = 0L
-          blocks.foreach(b => bytes +=
-            b.docBytes.length + b.tfBytes.length + b.dlBytes.length + b.posBytes.length)
-          SegmentRow(shard, field, term, n.toLong, cf, minDoc, maxDoc, bytes, pid, blocks)
         }
       }
     }
@@ -382,7 +395,11 @@ object SegmentStore {
             }
             def next(): SegmentRow = {
               val r = out.next()
-              rowsIn += r.df; rowsOut += 1; bytesOut += r.bytes
+              // stats-only marker rows are metadata, not postings — keep
+              // the lineage invariant rowsIn == postings tokenized
+              if (r.term != IndexBuilder.DlMarker) {
+                rowsIn += r.df; rowsOut += 1; bytesOut += r.bytes
+              }
               r
             }
           }
@@ -451,9 +468,7 @@ object SegmentStore {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stored")
       commitStage(outDir, "stored", Map.empty)
     }
-    val avgdls = spark.read.parquet(s"$outDir/fieldstats").as[FieldStats]
-      .collect().map(fs => fs.field -> fs.avgdl).toMap
-    encodeSegments(postings, avgdls, docsPerShard)
+    encodeSegments(postings, docsPerShard)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments")
     commitStage(outDir, "segments", Map.empty)
     postings.unpersist(blocking = false)

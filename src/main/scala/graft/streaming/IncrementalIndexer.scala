@@ -92,33 +92,29 @@ object IncrementalIndexer {
     val n = withIds.count()
     if (n > 0) {
       val staging = s"$dir/staging/gen-$batchId"
-      // postings are NOT cached: re-tokenizing from the persisted raw batch
-      // is cheaper than round-tripping every posting (positions included)
-      // through the block manager — measured 1.5× build throughput at both
-      // 1 and 4 cores (BASELINE.md round 4); same choice as SegmentStore.build
+      // ONE batch-scale job (same single-pass shape as SegmentStore.build):
+      // tokenize with markers → encode; the generation's term/field stats
+      // are then derived from the encoded rows' metadata, so each
+      // micro-batch tokenizes its documents exactly once. Block-max bounds
+      // use block-local encAvgdl — the scorers' max(1, q/encAvgdl)
+      // inflation (Codec.Block.encAvgdl) is what keeps WAND sound when the
+      // merged multi-generation avgdl differs from any encode-time value.
       val withMarkers = IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields)
-      val postings = withMarkers.filter(_.term != IndexBuilder.DlMarker)
-      // ONE stats agg: the marker rows' groups are the field stats (same
-      // fold as SegmentStore.build) — no per-doc shuffle for avgdl
-      val agg = IndexBuilder.termStats(withMarkers).persist()
-      agg.filter(_.term != IndexBuilder.DlMarker)
+      SegmentStore.encodeSegments(withMarkers, docsPerShard)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
+      val seg = spark.read.parquet(s"$staging/segments")
+        .select(col("field"), col("term"), col("df"), col("cf"))
+      seg.filter(col("term") =!= IndexBuilder.DlMarker)
+        .groupBy(col("field"), col("term"))
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+        .as[TermStats]
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
-      val fsRows = agg.filter(_.term == IndexBuilder.DlMarker).collect()
-        .map(ts => FieldStats(ts.field, ts.df, ts.cf.toDouble / ts.df)).toIndexedSeq
-      agg.unpersist(blocking = false)
+      val fsRows = seg.filter(col("term") === IndexBuilder.DlMarker)
+        .groupBy(col("field"))
+        .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"))
+        .as[FieldStats].collect().toIndexedSeq
       spark.createDataset(fsRows)
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/fieldstats")
-      // merged avgdl = committed generations + this staged one
-      val liveFs = Paths.get(s"$dir/fieldstats")
-      val fsUnion =
-        if (Files.exists(liveFs))
-          spark.read.parquet(s"$dir/fieldstats").as[FieldStats].collect().toIndexedSeq ++ fsRows
-        else fsRows
-      val avgdls = fsUnion.groupBy(_.field).map { case (f, rows) =>
-        f -> rows.map(r => r.docCount * r.avgdl).sum / rows.map(_.docCount).sum
-      }
-      SegmentStore.encodeSegments(postings, avgdls, docsPerShard)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
       // key→docId map rides along as its own generation: the MERGE/upsert
       // path joins incoming keys against it to find superseded docIds
       withIds.select((orderCols.map(org.apache.spark.sql.functions.col) :+ col("docId")): _*)

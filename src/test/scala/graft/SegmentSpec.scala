@@ -72,18 +72,21 @@ class SegmentSpec extends SparkSpec {
 
   test("staged build is resumable: failpoint between stages, rerun completes identically") {
     val dir = Files.createTempDirectory("graft-resume").toString
+    // segments commit first (round 5: encode is the single corpus pass;
+    // stats derive from its output) — fail between them, leaving stats
+    // outstanding
     intercept[RuntimeException] {
-      SegmentStore.build(docs, "docId", fields, dir, docsPerShard = 257, failAfterStage = Some("stats"))
+      SegmentStore.build(docs, "docId", fields, dir, docsPerShard = 257, failAfterStage = Some("segments"))
     }
     assert(SegmentStore.stageDone(dir, "spec"))
-    assert(SegmentStore.stageDone(dir, "stats"))
-    assert(!SegmentStore.stageDone(dir, "segments"))
-    val statsMtime = Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/checkpoints/stats.json"))
+    assert(SegmentStore.stageDone(dir, "segments"))
+    assert(!SegmentStore.stageDone(dir, "stats"))
+    val segMtime = Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/checkpoints/segments.json"))
     // resume
     SegmentStore.build(docs, "docId", fields, dir, docsPerShard = 257)
-    assert(SegmentStore.stageDone(dir, "segments"))
+    assert(SegmentStore.stageDone(dir, "stats"))
     // completed stages were NOT recomputed
-    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/checkpoints/stats.json")) === statsMtime)
+    assert(Files.getLastModifiedTime(java.nio.file.Paths.get(s"$dir/checkpoints/segments.json")) === segMtime)
     // the resumed index answers identically to the uninterrupted one
     val resumed = SegmentStore.open(spark, dir)
     queries.take(5).foreach { q =>

@@ -58,6 +58,29 @@ class WandSpec extends AnyFunSuite with GenSamples {
     }
   }
 
+  test("WAND over BLOCK-LOCAL encAvgdl blocks ≡ exhaustive under any live avgdl (round 5)") {
+    // the single-pass build encodes block-max bounds against each block's
+    // own mean dl (Codec.RunEncoder.encodeLocal) — the scorers' per-block
+    // max(1, q/encAvgdl) inflation must keep pruning sound for live avgdls
+    // both above and below every block's local reference point
+    forAll(corpusGen, Gen.zip(Gen.oneOf(1, 3, 10, 50), Gen.choose(5.0, 120.0))) { case (corpus, (k, liveAvgdl)) =>
+      val localScorers = corpus.map { case (idf, run) =>
+        new TermScorer(new TermIterator(Codec.encodeLocal(run.iterator)), idf).withAvgdl(liveAvgdl)
+      }.toIndexedSeq
+      val wand = wandTopK(localScorers, k)
+      val byDoc = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      corpus.foreach { case (idf, run) =>
+        run.foreach { d =>
+          byDoc(d.docId) += idf * d.tf * (IndexBuilder.K1 + 1.0) /
+            (d.tf + IndexBuilder.K1 * ((1.0 - IndexBuilder.B) + (IndexBuilder.B / liveAvgdl) * d.dl))
+        }
+      }
+      val want = byDoc.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+      assert(wand.map(_._1) === want.map(_._1))
+      wand.zip(want).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("WAND with exclusions ≡ exhaustive with exclusions (tombstones keep pruning sound)") {
     forAll(corpusGen, Gen.oneOf(1, 3, 10)) { (corpus, k) =>
       // tombstone every 3rd docId — exclusion at heap-offer time must yield
