@@ -233,6 +233,10 @@ object Bench {
     * is the published efficiency — kept together so the published
     * throughputs and efficiency always compose (ADVICE r3 #5).
     */
+  /** Idle settle before each pair-run (see scalingPairHardened). */
+  private val settleMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "45000").toLong
+
   private final case class EffSample(n: Double, n4: Double) {
     def eff: Double = n4 / (4.0 * n)
   }
@@ -244,6 +248,13 @@ object Bench {
   private def scalingPairHardened(cpus4: Int, cpusN: Int, numConvs: Long, rounds: Int, rep: Int)
       : (EffSample, EffSample) = {
     val runs = Seq(false, true).map { flip =>
+      // settle gap before every pair-run (round-5.2 protocol, pre-registered
+      // in BASELINE.md): the host's burst/throttle state decays across a
+      // short idle window; without it pair N partly measures pair N-1's
+      // residual busy history (the round-3/4 process-order effect, now
+      // self-inflicted by the pairs themselves — wide children sagged
+      // 37.6k → 27.3k over a 45-min back-to-back pair sequence)
+      Thread.sleep(settleMs)
       val ((tps4, qps4), (tpsN, qpsN)) = scalingRunPair(cpus4, cpusN, numConvs, rounds, flip)
       val b = EffSample(tpsN, tps4)
       val q = EffSample(qpsN, qps4)
@@ -347,7 +358,13 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "40000").toLong
+    // 80k convs (~1.6M turns): the measured wide-child build is then ~45 s
+    // wall, LONGER than the host's observed burst windows (10-60 s), so a
+    // burst averages into the sample instead of owning it — at the old 40k
+    // (~23 s) a single burst put the whole measurement 40% under capacity
+    // (wide-child spread 16.9k-37.6k turns/s across one 10-run sequence;
+    // round-5.2 protocol, pre-registered in BASELINE.md)
+    val numConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "80000").toLong
     // 25 rounds = 250 queries per measurement: long enough that the qps
     // sample averages over transient load within the window
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "25").toInt
