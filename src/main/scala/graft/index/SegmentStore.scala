@@ -292,10 +292,21 @@ object SegmentStore {
     * contiguous and docId-ordered for the block encoder (SURVEY.md §2.5).
     * Shared by the batch build and the incremental (streaming) appender.
     */
+  /** `reconstructMarkers`: for inputs WITHOUT dl-marker rows (the optimize
+    * path decodes postings only — stats-only rows have no blocks to
+    * decode), re-derive each (shard, field)'s marker row inside the encode
+    * task: partitions hold whole shards and runs arrive sorted by
+    * (shard, field, term, docId), so a per-(shard, field) BitSet over
+    * LOCAL docIds (≤ docsPerShard bits, reused across groups) counts each
+    * doc once and sums its dl — field stats then fold from segment
+    * metadata with NO extra pass over the postings. Never set this when
+    * the input already carries marker rows (they would double-count).
+    */
   def encodeSegments(
       postings: Dataset[Posting],
       docsPerShard: Long,
-      lineageAcc: Option[org.apache.spark.util.CollectionAccumulator[LineageRow]] = None): Dataset[SegmentRow] = {
+      lineageAcc: Option[org.apache.spark.util.CollectionAccumulator[LineageRow]] = None,
+      reconstructMarkers: Boolean = false): Dataset[SegmentRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -329,9 +340,39 @@ object SegmentStore {
           dls = java.util.Arrays.copyOf(dls, cap)
           poss = java.util.Arrays.copyOf(poss, cap)
         }
-        def hasNext: Boolean = src.hasNext
+        // marker-reconstruction state (reconstructMarkers only): the
+        // current (shard, field) group's distinct-doc bitset + stats
+        private var mShard = -1
+        private var mField: String = null
+        private var mBits: java.util.BitSet = null
+        private var mCount = 0L
+        private var mSum = 0L
+        private var mMin = Long.MaxValue
+        private var mMax = Long.MinValue
+        private def flushMarker(): SegmentRow = {
+          val r = SegmentRow(mShard, mField, IndexBuilder.DlMarker,
+            mCount, mSum, mMin, mMax, 0L, pid, Vector.empty)
+          mField = null; mCount = 0L; mSum = 0L
+          mMin = Long.MaxValue; mMax = Long.MinValue
+          if (mBits != null) mBits.clear()
+          r
+        }
+        def hasNext: Boolean = src.hasNext || mField != null
         def next(): SegmentRow = {
+          if (!src.hasNext) return flushMarker() // tail group's marker
           val (field, term, _, _, _, _, shard) = src.head
+          if (reconstructMarkers && mField != null &&
+            (shard != mShard || field != mField)) {
+            return flushMarker() // group changed: emit previous marker first
+          }
+          if (reconstructMarkers && mField == null) {
+            mShard = shard; mField = field
+            if (mBits == null) {
+              require(docsPerShard <= Int.MaxValue,
+                s"reconstructMarkers needs docsPerShard <= Int.MaxValue, got $docsPerShard")
+              mBits = new java.util.BitSet(docsPerShard.toInt)
+            }
+          }
           if (term == IndexBuilder.DlMarker) {
             // dl-marker run → STATS-ONLY segment row, no blocks: markers
             // carry tf = dl per (doc, field), so this run's (df, cf) IS the
@@ -365,6 +406,17 @@ object SegmentStore {
               cf += tf
               if (docId < minDoc) minDoc = docId
               if (docId > maxDoc) maxDoc = docId
+              if (reconstructMarkers) {
+                // count each (field, doc) once across all its term runs
+                val local = (docId - shard.toLong * docsPerShard).toInt
+                if (!mBits.get(local)) {
+                  mBits.set(local)
+                  mCount += 1
+                  mSum += dl
+                  if (docId < mMin) mMin = docId
+                  if (docId > mMax) mMax = docId
+                }
+              }
             }
             val blocks = enc.encodeLocal(docIds, tfs, dls, poss, n)
             var bytes = 0L
@@ -434,6 +486,14 @@ object SegmentStore {
     * forceMerge(1)): decode every run, drop tombstoned docs, and re-encode
     * each (shard, field, term) as a single fresh run with tight blocks.
     * Writes a full replacement `segments/` + stats (new dir returned).
+    *
+    * Single-pass like the build (round 5): decode → anti-join → ONE
+    * shuffle+encode job; the encode tasks reconstruct each
+    * (shard, field)'s marker row from the postings they already see
+    * (`reconstructMarkers` — a per-group distinct-doc BitSet), and
+    * term/field stats fold from the new segments' metadata. No persist of
+    * the decoded postings, no separate stats aggregations — the old shape
+    * ran three corpus-scale passes over a MEMORY_AND_DISK cache.
     */
   def optimize(spark: SparkSession, dir: String, outDir: String, docsPerShard: Long = 1L << 14): Unit = {
     import spark.implicits._
@@ -448,16 +508,12 @@ object SegmentStore {
     // the front, and encodeSegments binds a positional tuple encoder
     val postings = decoded.join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
       .select("field", "term", "docId", "tf", "positions", "dl")
-      .as[Posting].persist()
+      .as[Posting]
     // spec carries over; stats recomputed post-expunge
     java.nio.file.Files.createDirectories(Paths.get(outDir))
     writeShardSpec(outDir, docsPerShard)
     spark.read.parquet(s"$dir/spec").coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
     commitStage(outDir, "spec", Map.empty)
-    IndexBuilder.termStats(postings).write.mode(SaveMode.Overwrite).parquet(s"$outDir/termstats")
-    IndexBuilder.fieldStatsFromPostings(postings)
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
-    commitStage(outDir, "stats", Map.empty)
     // stored sidecar: expunge tombstoned rows too — a doc-value-only query
     // (no posting conjunction) reads stored directly, so a row surviving
     // its postings would resurrect the deleted doc
@@ -468,10 +524,22 @@ object SegmentStore {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stored")
       commitStage(outDir, "stored", Map.empty)
     }
-    encodeSegments(postings, docsPerShard)
+    encodeSegments(postings, docsPerShard, reconstructMarkers = true)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments")
     commitStage(outDir, "segments", Map.empty)
-    postings.unpersist(blocking = false)
+    val seg = spark.read.parquet(s"$outDir/segments")
+      .select(col("field"), col("term"), col("df"), col("cf"))
+    seg.filter(col("term") =!= IndexBuilder.DlMarker)
+      .groupBy(col("field"), col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .as[TermStats]
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/termstats")
+    seg.filter(col("term") === IndexBuilder.DlMarker)
+      .groupBy(col("field"))
+      .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"))
+      .as[FieldStats]
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
+    commitStage(outDir, "stats", Map.empty)
   }
 
   /** `_cleanup` analog (reference LuceneServlet.java:75-118 deletes index
