@@ -146,8 +146,8 @@ object SegmentStore {
     }
     failpoint("stored")
 
-    // ONE corpus-scale job: tokenize (markers included) → shard shuffle →
-    // encode → write. The build reads AND shuffles the source exactly one
+    // ONE corpus-scale job: tokenize → shard shuffle → encode → write.
+    // The build reads AND shuffles the source exactly one
     // time; stats are derived from the encoded rows below. (The round-4
     // persist-vs-recompute dilemma — cache postings between a stats pass
     // and an encode pass, or tokenize twice — is gone: there is only one
@@ -157,12 +157,21 @@ object SegmentStore {
 
     if (needSegments) {
       Timing.timed("build.encode") {
-        val withMarkers = IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
+        // dl-marker rows are NOT shipped through the shuffle (round 5): the
+        // encode tasks reconstruct each (shard, field)'s marker from the
+        // postings they already stream — exact, because a marker exists iff
+        // the (field, doc) has ≥1 posting — which drops one shuffle row per
+        // (doc, field) from the build's widest stage. Falls back to shipped
+        // markers only for docsPerShard beyond the BitSet range.
+        val recon = docsPerShard <= Int.MaxValue
+        val postings =
+          if (recon) IndexBuilder.tokenizePostings(docs, docIdCol, fields)
+          else IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
         // per-partition lineage rides back on an accumulator — the round-2
         // build re-read the committed segments for a metadata agg (a pure
         // driver-synchronized second job)
         val linAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
-        encodeSegments(withMarkers, docsPerShard, Some(linAcc))
+        encodeSegments(postings, docsPerShard, Some(linAcc), reconstructMarkers = recon)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
         // dedupe by pid: a speculative/retried task may report twice; the
         // rows are deterministic per partition so first-wins is exact
@@ -495,8 +504,11 @@ object SegmentStore {
     * the decoded postings, no separate stats aggregations — the old shape
     * ran three corpus-scale passes over a MEMORY_AND_DISK cache.
     */
-  def optimize(spark: SparkSession, dir: String, outDir: String, docsPerShard: Long = 1L << 14): Unit = {
+  def optimize(spark: SparkSession, dir: String, outDir: String, docsPerShard: Long = -1L): Unit = {
     import spark.implicits._
+    // default (non-positive): carry the source index's shard spec — a
+    // maintenance op should not silently re-shard the corpus
+    val dps = if (docsPerShard > 0) docsPerShard else docsPerShardOf(dir)
     // tombstones dropped via anti-join (never a driver-side Set — at scale
     // deletes are normal state, potentially corpus-sized)
     val decoded: Dataset[Posting] = spark.read.parquet(s"$dir/segments").as[SegmentRow]
@@ -511,7 +523,7 @@ object SegmentStore {
       .as[Posting]
     // spec carries over; stats recomputed post-expunge
     java.nio.file.Files.createDirectories(Paths.get(outDir))
-    writeShardSpec(outDir, docsPerShard)
+    writeShardSpec(outDir, dps)
     spark.read.parquet(s"$dir/spec").coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
     commitStage(outDir, "spec", Map.empty)
     // stored sidecar: expunge tombstoned rows too — a doc-value-only query
@@ -520,11 +532,11 @@ object SegmentStore {
     if (Files.exists(Paths.get(s"$dir/stored"))) {
       spark.read.parquet(s"$dir/stored")
         .join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
-        .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+        .withColumn("shard", (col("docId") / lit(dps)).cast("int"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stored")
       commitStage(outDir, "stored", Map.empty)
     }
-    encodeSegments(postings, docsPerShard, reconstructMarkers = true)
+    encodeSegments(postings, dps, reconstructMarkers = true)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments")
     commitStage(outDir, "segments", Map.empty)
     val seg = spark.read.parquet(s"$outDir/segments")
@@ -552,10 +564,11 @@ object SegmentStore {
     * non-atomic window; production maps this to an Iceberg
     * snapshot-replace commit, see the class note above).
     */
-  def optimizeInPlace(spark: SparkSession, dir: String, docsPerShard: Long = 1L << 14): Unit = {
+  def optimizeInPlace(spark: SparkSession, dir: String, docsPerShard: Long = -1L): Unit = {
+    val dps = if (docsPerShard > 0) docsPerShard else docsPerShardOf(dir)
     val staging = s"$dir/staging-optimize"
     deleteRecursively(staging)
-    optimize(spark, dir, staging, docsPerShard)
+    optimize(spark, dir, staging, dps)
     val subs = Seq("spec", "termstats", "fieldstats", "segments") ++
       (if (Files.exists(Paths.get(s"$staging/stored"))) Seq("stored") else Nil)
     subs.foreach { sub =>
@@ -573,7 +586,7 @@ object SegmentStore {
       Files.move(Paths.get(compacted), Paths.get(s"$dir/keys"))
     }
     deleteRecursively(s"$dir/tombstones")
-    writeShardSpec(dir, docsPerShard)
+    writeShardSpec(dir, dps)
     deleteRecursively(staging)
   }
 

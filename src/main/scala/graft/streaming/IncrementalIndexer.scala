@@ -93,14 +93,19 @@ object IncrementalIndexer {
     if (n > 0) {
       val staging = s"$dir/staging/gen-$batchId"
       // ONE batch-scale job (same single-pass shape as SegmentStore.build):
-      // tokenize with markers → encode; the generation's term/field stats
+      // tokenize → encode, with the per-(shard, field) dl-marker rows
+      // reconstructed inside the encode tasks rather than shipped through
+      // the shuffle; the generation's term/field stats
       // are then derived from the encoded rows' metadata, so each
       // micro-batch tokenizes its documents exactly once. Block-max bounds
       // use block-local encAvgdl — the scorers' max(1, q/encAvgdl)
       // inflation (Codec.Block.encAvgdl) is what keeps WAND sound when the
       // merged multi-generation avgdl differs from any encode-time value.
-      val withMarkers = IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields)
-      SegmentStore.encodeSegments(withMarkers, docsPerShard)
+      val recon = docsPerShard <= Int.MaxValue
+      val postings =
+        if (recon) IndexBuilder.tokenizePostings(withIds, "docId", fields)
+        else IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields)
+      SegmentStore.encodeSegments(postings, docsPerShard, reconstructMarkers = recon)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
       val seg = spark.read.parquet(s"$staging/segments")
         .select(col("field"), col("term"), col("df"), col("cf"))

@@ -113,7 +113,9 @@ class StreamingSpec extends SparkSpec {
     val before = topK(SegmentStore.openMerged(spark, dir), "hello",
       Some(SegmentStore.deletedDocsDF(spark, dir)))
     val filesBefore = SegmentStore.fileCount(dir)
-    SegmentStore.optimizeInPlace(spark, dir, docsPerShard = 257)
+    // default docsPerShard: a maintenance op carries the source shardspec
+    SegmentStore.optimizeInPlace(spark, dir)
+    assert(SegmentStore.docsPerShardOf(dir) === 257L)
     val filesAfter = SegmentStore.fileCount(dir)
     assert(filesAfter < filesBefore,
       s"cleanup did not shrink the index dir: $filesBefore -> $filesAfter files")
