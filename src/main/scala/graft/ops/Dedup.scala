@@ -62,15 +62,26 @@ object Dedup {
   }
 
   /** MinHash signatures over word-3-gram shingles: h_i = min over shingles
-    * of hash64(shingle || "#i"). One narrow pass + one groupBy(doc) — the
-    * classic shingle→minhash step of MinHash+LSH dedup.
+    * of hash64(shingle || "#i").
+    *
+    * Computed per-row as `array_min(transform(shingles, …))` — ONE narrow
+    * map over the corpus, no explode and no groupBy(doc) shuffle. The
+    * per-row array min equals the min over exploded shingle rows, so the
+    * DuckDB oracle (which still aggregates an unnested CTE) hash-matches
+    * unchanged; docs with < w tokens have no shingles and are absent from
+    * the output in both formulations. At 100 TB this is the difference
+    * between a map-only stage and shuffling every shingle in the corpus.
+    * The shingle array is materialized in its own projection so the h_i
+    * columns reference a (cheap) attribute; CollapseProject keeps
+    * multi-referenced non-trivial aliases un-inlined.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, numHashes: Int = 8): DataFrame = {
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(shingles(col(textCol))).as("shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(hash64(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(col("sh"), s => hash64(concat(s, lit(s"#$i"))))).as(s"h$i"))
+    sh.select(col("doc_id") +: mins: _*)
   }
 
   /** LSH band-bucket candidate pairs over minhash signatures, with the
@@ -138,17 +149,25 @@ object Dedup {
 
   /** 32-bit SimHash over distinct tokens: bit j of the fingerprint is the
     * sign of Σ_tokens (±1 by bit j of hash32(token)).
+    *
+    * Per-row formulation: hash the distinct-token array once (`transform`,
+    * one md5 per distinct token — same multiset of hashes the oracle's
+    * DISTINCT-unnest CTE produces), then each bit's sum is an `aggregate`
+    * fold over that hash array. Narrow map over the corpus — the previous
+    * explode + groupBy(doc) shuffled every distinct token; integer sums are
+    * order-independent so the fold equals the group-sum bit-for-bit.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
-    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(array_distinct(tokens(col(textCol)))).as("term"))
-      .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until bits).map(j =>
-      when(col(s"b$j") > 0, lit(1L) * (1L << j)).otherwise(0L)).reduce(_ + _)
-    sums.select(col("doc_id"), fp.as("simhash"))
+    val hs = docs.select(col(idCol).cast("long").as("doc_id"),
+        transform(array_distinct(tokens(col(textCol))),
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val fp = (0 until bits).map { j =>
+      val bsum = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bsum > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    hs.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Top-k most similar pairs by word-3-gram Jaccard. Candidate generation

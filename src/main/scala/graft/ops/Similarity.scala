@@ -84,106 +84,133 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
+  // ---- IVF ---------------------------------------------------------------
+  //
+  // The coarse codebook is tiny and bounded (nCentroids rows), so it is
+  // collected to the driver — the same Lucene-TermStates-shaped collect the
+  // query planner already does for term stats — and embedded as LITERALS in
+  // the assignment expression. Cell assignment is then a NARROW map over the
+  // corpus (scan → project), where the previous shape crossJoined a
+  // broadcast centroid frame and re-aggregated all N×1 rows by vid: a full
+  // shuffle of every vector per Lloyd pass. The driver-side arithmetic
+  // (left-fold Σ(x−y)² in index order over doubles) is bit-identical to the
+  // Catalyst `aggregate`/`zip_with` fold, so assignments — and therefore the
+  // gated outputs — are unchanged.
+
+  /** Collect a (≤ nCentroids)-row centroid frame as (cid, components-as-double),
+    * sorted by cid. Bounded driver collect, never corpus-sized.
+    */
+  private def collectCentroids(cent: DataFrame): Seq[(Long, IndexedSeq[Double])] =
+    cent.select(col("cid"), transform(col("ce"), x => x.cast("double")).as("ce"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+
+  /** Driver-side Σ(x−y)² with the exact fold order of [[l2sq]]. */
+  private def l2sqDriver(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Σ(x−y)² of a vector column against a literal centroid (index-order fold). */
+  private def l2sqLit(v: Column, ce: Seq[Double]): Column =
+    aggregate(zip_with(v, array(ce.map(lit): _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Narrow cell assignment: argmin over literal centroids (ties → lowest
+    * cid) via `array_min` over (dist, cid) structs — struct ordering IS the
+    * tie-break. No join, no shuffle: scan → project.
+    */
+  private def assignLit(e: DataFrame, cents: Seq[(Long, IndexedSeq[Double])]): DataFrame =
+    e.withColumn("cid", array_min(array(cents.map { case (cid, ce) =>
+      struct(l2sqLit(col("v"), ce).as("dist"), lit(cid).as("cid"))
+    }: _*)).getField("cid"))
+
+  /** The query vector (as doubles) — one bounded driver collect. */
+  private def queryVec(e: DataFrame, queryId: Long): IndexedSeq[Double] =
+    e.filter(col("vid") === queryId)
+      .select(transform(col("v"), x => x.cast("double")))
+      .head().getSeq[Double](0).toIndexedSeq
+
+  /** Top-k cosine scan of the (narrow-filtered) candidate rows against a
+    * literal query vector: project + TakeOrderedAndProject, nothing else.
+    */
+  private def probeTopK(cand: DataFrame, qvec: IndexedSeq[Double], queryId: Long, k: Int): DataFrame =
+    cand.filter(col("vid") =!= queryId)
+      .select(col("vid").as("vec_id"),
+        round(cosine(col("v"), array(qvec.map(lit): _*)), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+      .limit(k)
+
   /** IVF-style ANN: a fixed coarse codebook (the first `nCentroids` vectors
     * stand in for trained k-means centroids — deterministic, so the oracle
     * can recompute the structure), one assignment pass (argmin L2, ties by
-    * centroid id), probe = top-k cosine within the query's cell only. At
-    * cluster scale the cell id is the partition key: a probe reads one
-    * partition instead of the corpus.
+    * centroid id), probe = top-k cosine within the query's cell only. The
+    * whole probe is scan → narrow filter/project → top-k; at cluster scale
+    * the cell id is the partition key, so it reads one partition instead of
+    * the corpus.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8): DataFrame = {
-    val cent = emb.filter(col(idCol) < nCentroids)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("ce"))
-    val assign = assignCells(
-      emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v")), cent)
-    val qcell = broadcast(assign.filter(col("vid") === queryId)
-      .select(col("v").as("qvec"), col("cid").as("qcid")))
-    assign.crossJoin(qcell)
-      .filter(col("cid") === col("qcid") && col("vid") =!= queryId)
-      .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
-      .orderBy(col("cos_r").desc, col("vec_id").asc)
-      .limit(k)
+    val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val cents = collectCentroids(
+      e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
+    val qvec = queryVec(e, queryId)
+    val qcid = cents.minBy { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }._1
+    probeTopK(assignLit(e, cents).filter(col("cid") === qcid), qvec, queryId, k)
   }
 
   /** IVF with multi-cell probe — the recall/latency knob every production
     * IVF index exposes (nprobe): candidates come from the query vector's
-    * `nprobe` L2-nearest cells instead of only its own. At cluster scale
-    * cells are partition keys, so the probe reads `nprobe` partitions; the
-    * cell ranking is driver-free (a tiny broadcast of ≤ nprobe cids).
+    * `nprobe` L2-nearest cells instead of only its own. The cell ranking is
+    * a driver computation over the ≤ nCentroids collected codebook; the
+    * probe filter is `cid IN (...)` — at cluster scale, `nprobe` partitions
+    * read instead of the corpus.
     */
   def ivfProbeTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8, nprobe: Int = 3): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
-    val cent = e.filter(col("vid") < nCentroids)
-      .select(col("vid").as("cid"), col("v").as("ce"))
-    val assign = assignCells(e, cent)
-    val q = broadcast(e.filter(col("vid") === queryId).select(col("v").as("qvec")))
-    val qcells = broadcast(cent.crossJoin(q)
-      .select(col("cid"), l2sq(col("qvec"), col("ce")).as("dist"))
-      .orderBy(col("dist").asc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid")))
-    assign.join(qcells, Seq("cid"), "left_semi")
-      .filter(col("vid") =!= queryId)
-      .crossJoin(q)
-      .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
-      .orderBy(col("cos_r").desc, col("vec_id").asc)
-      .limit(k)
+    val cents = collectCentroids(
+      e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
+    val qvec = queryVec(e, queryId)
+    val qcids = cents.map { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }
+      .sorted.take(nprobe).map(_._2)
+    probeTopK(assignLit(e, cents).filter(col("cid").isin(qcids: _*)), qvec, queryId, k)
   }
-
-  /** One Lloyd assignment pass: each vector to its L2-nearest centroid
-    * (ties → lowest cid). `cent` must be small (broadcast).
-    *
-    * Per-vid argmin as `min(struct(dist, cid, v))` — struct ordering IS the
-    * (dist asc, cid asc) tie-break, and the hash aggregate partially
-    * combines map-side, so only ≤ one row per vid per partition shuffles.
-    * The round-2 Window shape shuffled all N×C candidate rows and sorted
-    * them (VERDICT r2 note on ann_ivf_trained).
-    */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vid"), struct(l2sq(col("v"), col("ce")).as("dist"),
-        col("cid"), col("v")).as("dc"))
-      .groupBy(col("vid"))
-      .agg(min(col("dc")).as("m"))
-      .select(col("vid"), col("m.v").as("v"), col("m.cid").as("cid"))
 
   /** IVF with a TRAINED coarse codebook: `iters` deterministic Lloyd
     * iterations from the fixed seed centroids (first `nCentroids` vectors),
-    * then single-cell probe. Each iteration is two hash aggregations
-    * (assign is a broadcast crossJoin + per-vid argmin; the new centroid is
-    * the element-wise mean via posexplode→avg→re-assemble) — all shuffles
-    * are on vid/cid, nothing corpus-squared. Mean uses plain `avg`; an
-    * assignment flip would need two centroid distances within float-sum
-    * ulp distance (measure-zero for continuous embeddings; the oracle runs
-    * the identical recipe).
+    * then single-cell probe. Per iteration: one NARROW assignment pass
+    * (literal-centroid argmin) and one aggregation for the element-wise
+    * means (posexplode → avg by (cid, i)) — the only shuffle, and it
+    * combines map-side. The ≤ nCentroids mean rows are collected and become
+    * the next iteration's literals; an empty cluster keeps its previous
+    * centroid. Mean uses plain `avg`; an assignment flip would need two
+    * centroid distances within float-sum ulp distance (measure-zero for
+    * continuous embeddings; the oracle runs the identical recipe).
     */
   def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8, iters: Int = 2): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
-    var cent = e.filter(col("vid") < nCentroids)
-      .select(col("vid").as("cid"), transform(col("v"), x => x.cast("double")).as("ce"))
+    var cents = collectCentroids(
+      e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
     for (_ <- 0 until iters) {
-      val assign = assignCells(e, cent)
-      val means = assign
+      val means = assignLit(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s.getField("m")).as("me"))
-      // empty cluster keeps its previous centroid
-      cent = broadcast(cent.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("me"), col("ce")).as("ce")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      cents = cents.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
     }
-    val finalAssign = assignCells(e, cent)
-    val qcell = broadcast(finalAssign.filter(col("vid") === queryId)
-      .select(col("v").as("qvec"), col("cid").as("qcid")))
-    finalAssign.crossJoin(qcell)
-      .filter(col("cid") === col("qcid") && col("vid") =!= queryId)
-      .select(col("vid").as("vec_id"), round(cosine(col("v"), col("qvec")), 4).as("cos_r"))
-      .orderBy(col("cos_r").desc, col("vec_id").asc)
-      .limit(k)
+    val qvec = queryVec(e, queryId)
+    val qcid = cents.minBy { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }._1
+    probeTopK(assignLit(e, cents).filter(col("cid") === qcid), qvec, queryId, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-bucket LSH blocking with a

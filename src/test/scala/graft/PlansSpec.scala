@@ -110,4 +110,26 @@ class PlansSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n${plan.take(3000)}")
   }
+
+  test("minhash signatures are a narrow map: no exchange, no explode (round 5)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000))
+  }
+
+  test("simhash is a narrow map: no exchange, no explode (round 5)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.simhash(docs, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000))
+  }
+
+  test("IVF probe is scan -> narrow filter -> top-k: no join, no exchange (round 5)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding", 42))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }
