@@ -99,11 +99,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxNeighbors: Int = 16): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, numHashes)
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val key = concat_ws("|", lit(b.toString) +:
+    // one row per (doc, band) via explode over the ALREADY-COMPUTED signature
+    // row — the previous per-band union duplicated the whole signature
+    // subtree (tokenize + shingle + md5 once per band per plan reference)
+    val bandKeys = (0 until numHashes / rowsPerBand).map { b =>
+      concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
-      sig.select(col("doc_id"), key.as("bucket"))
-    }.reduce(_ unionByName _)
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bucket"))
     val ranked = bands.withColumn("rn",
       row_number().over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
     ranked.as("x").join(ranked.as("y"),
@@ -117,14 +120,19 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("doc_id"),
       array_distinct(shingles(col(textCol))).as("sh"))
 
-  /** True-Jaccard verification of a candidate pair frame: joins each side's
-    * shingle set (two hash joins on doc id) and computes |∩|/|∪| with the
-    * cross-engine-stable floor rounding.
+  /** True-Jaccard verification of a candidate pair frame: melt each pair to
+    * its two doc ids, join the shingle sets ONCE, regroup by pair (a < b
+    * always, so min_by/max_by on doc_id routes each side), and compute
+    * |∩|/|∪| with the cross-engine-stable floor rounding. The previous
+    * two-join shape referenced `sets` twice — two full tokenize + shingle
+    * passes over the corpus per verification.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
-    cand
-      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), Seq("a"))
-      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), Seq("b"))
+    cand.select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .join(sets, Seq("doc_id"))
+      .groupBy(col("a"), col("b"))
+      .agg(min_by(col("sh"), col("doc_id")).as("sha"),
+        max_by(col("sh"), col("doc_id")).as("shb"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
       .withColumn("jaccard", floor(col("inter") / col("uni") * 1000000.0 + 0.5) / 1000000.0)

@@ -125,6 +125,17 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan.take(3000))
   }
 
+  test("minhash pairs: banded candidates explode one signature row, no per-band union (round 5)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.minhashPairs(docs, "doc_id", "text"))
+    // the per-band union duplicated the tokenize+shingle+md5 subtree once
+    // per band per plan reference; bands are now one explode over the
+    // computed signature row and verification joins the shingle sets ONCE
+    assert(!plan.contains("Union"), plan.take(3000))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 5, s"expected <=5 corpus scans, got $scans\n${plan.take(3000)}")
+  }
+
   test("IVF probe is scan -> narrow filter -> top-k: no join, no exchange (round 5)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding", 42))
