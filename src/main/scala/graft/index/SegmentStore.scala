@@ -379,7 +379,11 @@ object SegmentStore {
             if (mBits == null) {
               require(docsPerShard <= Int.MaxValue,
                 s"reconstructMarkers needs docsPerShard <= Int.MaxValue, got $docsPerShard")
-              mBits = new java.util.BitSet(docsPerShard.toInt)
+              // grow-on-demand: docIds are dense (DocIds.assign), so the
+              // bitset tops out at the shard's ACTUAL population — never the
+              // nominal docsPerShard (which may be 2^31: a 256 MB/task
+              // preallocation for a shard holding a few million docs)
+              mBits = new java.util.BitSet()
             }
           }
           if (term == IndexBuilder.DlMarker) {

@@ -129,11 +129,19 @@ object Similarity {
       struct(l2sqLit(col("v"), ce).as("dist"), lit(cid).as("cid"))
     }: _*)).getField("cid"))
 
-  /** The query vector (as doubles) — one bounded driver collect. */
-  private def queryVec(e: DataFrame, queryId: Long): IndexedSeq[Double] =
+  /** The query vector (as doubles) — one bounded driver collect. None when
+    * the id is absent: callers return an empty result, matching the old
+    * empty-broadcast-crossJoin behavior.
+    */
+  private def queryVec(e: DataFrame, queryId: Long): Option[IndexedSeq[Double]] =
     e.filter(col("vid") === queryId)
       .select(transform(col("v"), x => x.cast("double")))
-      .head().getSeq[Double](0).toIndexedSeq
+      .collect().headOption.map(_.getSeq[Double](0).toIndexedSeq)
+
+  /** Empty (vec_id, cos_r) frame — the no-query / no-codebook result. */
+  private def emptyTopK(e: DataFrame): DataFrame =
+    e.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_id"), lit(0.0).as("cos_r")).limit(0)
 
   /** Top-k cosine scan of the (narrow-filtered) candidate rows against a
     * literal query vector: project + TakeOrderedAndProject, nothing else.
@@ -158,9 +166,10 @@ object Similarity {
     val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     val cents = collectCentroids(
       e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
-    val qvec = queryVec(e, queryId)
-    val qcid = cents.minBy { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }._1
-    probeTopK(assignLit(e, cents).filter(col("cid") === qcid), qvec, queryId, k)
+    queryVec(e, queryId).filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
+      val qcid = cents.minBy { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }._1
+      probeTopK(assignLit(e, cents).filter(col("cid") === qcid), qvec, queryId, k)
+    }
   }
 
   /** IVF with multi-cell probe — the recall/latency knob every production
@@ -175,10 +184,11 @@ object Similarity {
     val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     val cents = collectCentroids(
       e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
-    val qvec = queryVec(e, queryId)
-    val qcids = cents.map { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }
-      .sorted.take(nprobe).map(_._2)
-    probeTopK(assignLit(e, cents).filter(col("cid").isin(qcids: _*)), qvec, queryId, k)
+    queryVec(e, queryId).filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
+      val qcids = cents.map { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }
+        .sorted.take(nprobe).map(_._2)
+      probeTopK(assignLit(e, cents).filter(col("cid").isin(qcids: _*)), qvec, queryId, k)
+    }
   }
 
   /** IVF with a TRAINED coarse codebook: `iters` deterministic Lloyd
@@ -197,6 +207,8 @@ object Similarity {
     val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     var cents = collectCentroids(
       e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
+    val qvecOpt = queryVec(e, queryId).filter(_ => cents.nonEmpty)
+    if (qvecOpt.isEmpty) return emptyTopK(e)
     for (_ <- 0 until iters) {
       val means = assignLit(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
@@ -208,7 +220,7 @@ object Similarity {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
       cents = cents.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
     }
-    val qvec = queryVec(e, queryId)
+    val qvec = qvecOpt.get
     val qcid = cents.minBy { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }._1
     probeTopK(assignLit(e, cents).filter(col("cid") === qcid), qvec, queryId, k)
   }

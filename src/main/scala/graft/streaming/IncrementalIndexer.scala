@@ -82,6 +82,11 @@ object IncrementalIndexer {
       SegmentStore.writeSpec(spark, dir, fields)
       SegmentStore.writeShardSpec(dir, docsPerShard)
     }
+    // the shard spec is an INDEX property, not a batch property: readers
+    // route docIds (and tombstones) by the persisted value, so a later call
+    // passing a different docsPerShard must not silently re-shard its
+    // generation — the committed spec wins for every batch after the first
+    val dps = SegmentStore.docsPerShardOf(dir)
 
     // persist the assigned batch for the micro-batch's lifetime: the
     // count, tokenize, and key-map jobs all consume it, and round 2 re-ran
@@ -101,11 +106,11 @@ object IncrementalIndexer {
       // use block-local encAvgdl — the scorers' max(1, q/encAvgdl)
       // inflation (Codec.Block.encAvgdl) is what keeps WAND sound when the
       // merged multi-generation avgdl differs from any encode-time value.
-      val recon = docsPerShard <= Int.MaxValue
+      val recon = dps <= Int.MaxValue
       val postings =
         if (recon) IndexBuilder.tokenizePostings(withIds, "docId", fields)
         else IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields)
-      SegmentStore.encodeSegments(postings, docsPerShard, reconstructMarkers = recon)
+      SegmentStore.encodeSegments(postings, dps, reconstructMarkers = recon)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
       val seg = spark.read.parquet(s"$staging/segments")
         .select(col("field"), col("term"), col("df"), col("cf"))
@@ -129,7 +134,7 @@ object IncrementalIndexer {
       // envelope queries work on an incrementally-maintained index too
       if (storedColumns.nonEmpty) {
         withIds.select(col("docId").cast("long").as("docId") +: storedColumns.map(col): _*)
-          .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+          .withColumn("shard", (col("docId") / lit(dps)).cast("int"))
           .write.mode(SaveMode.Overwrite).parquet(s"$staging/stored")
       }
       // promote: idempotent move under stable names, then delete staging

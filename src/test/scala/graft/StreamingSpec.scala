@@ -55,6 +55,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a later batch passing a different docsPerShard cannot re-shard the index (round 5)") {
+    val dir = Files.createTempDirectory("graft-dps-pin").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    // batch 2 asks for a wildly different shard size — the committed
+    // shardspec must win, or tombstones/doc-values route to wrong shards
+    IncrementalIndexer.appendBatch(turnsDF(40, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 8192)
+    assert(SegmentStore.docsPerShardOf(dir) === 257L)
+    // a delete in the second generation must actually disappear (routing
+    // by the persisted spec reaches the co-group holding its postings)
+    val idx = SegmentStore.openMerged(spark, dir)
+    val victim = topK(idx, "hello").map(_._1).max // high docId → second batch
+    SegmentStore.deleteDocs(spark, dir, Seq(victim))
+    val after = topK(SegmentStore.openMerged(spark, dir), "hello",
+      Some(SegmentStore.deletedDocsDF(spark, dir)))
+    assert(!after.map(_._1).contains(victim))
+    // and the surviving ranking still matches the reference batch build
+    for (q <- queries) {
+      val a = topK(idx, q)
+      val b = topK(batchIndex, q)
+      assert(a.map(_._1) === b.map(_._1), s"q=$q")
+    }
+  }
+
   test("spec change triggers a from-scratch re-index (reference design-doc change semantics)") {
     val dir = Files.createTempDirectory("graft-respec").toString
     IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
