@@ -328,6 +328,54 @@ object OpsOracle {
        |             / (1000.0 * greatest(n, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM g""".stripMargin
 
+  // ---- sampling / selection ---------------------------------------------
+
+  private def bucketExpr(salt: String): String =
+    s"${h64(s"doc_id::VARCHAR || ':$salt'")} % 1000000"
+
+  def sampleHash(rate: Double = 0.25, salt: String = "graft"): String =
+    s"""SELECT doc_id, bucket FROM (
+       |  SELECT doc_id, ${bucketExpr(salt)} AS bucket FROM documents
+       |) WHERE bucket < ${graft.ops.Sampling.threshold(rate)}""".stripMargin
+
+  def sampleStratified(rates: Seq[(String, Double)], defaultRate: Double = 0.1,
+      groupCol: String = "source", salt: String = "graft"): String = {
+    val cases = rates.map { case (g, r) =>
+      s"WHEN $groupCol = '$g' THEN ${graft.ops.Sampling.threshold(r)}"
+    }.mkString(" ")
+    s"""SELECT doc_id, $groupCol, bucket FROM (
+       |  SELECT doc_id, $groupCol, ${bucketExpr(salt)} AS bucket,
+       |         CASE $cases ELSE ${graft.ops.Sampling.threshold(defaultRate)} END AS thr
+       |  FROM documents
+       |) WHERE bucket < thr""".stripMargin
+  }
+
+  /** Top-k per group by the composite quality score — the `quality` CTE's
+    * score expression with a per-group row_number window.
+    */
+  def selectTopKPerGroup(k: Int = 5, groupCol: String = "source"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+       |),
+       |t AS (SELECT doc_id, count(*)::DOUBLE AS n,
+       |             sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE AS stops,
+       |             count(DISTINCT term)::DOUBLE AS uniq
+       |      FROM tok GROUP BY doc_id),
+       |g AS (SELECT d.doc_id AS doc_id, d.$groupCol AS $groupCol,
+       |             coalesce(t.n, 0.0) AS n, coalesce(t.stops, 0.0) AS stops,
+       |             coalesce(t.uniq, 0.0) AS uniq
+       |      FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id),
+       |q AS (SELECT doc_id, $groupCol,
+       |             floor((4.0 * least(n, 100.0) * greatest(n, 1.0)
+       |                    + 300.0 * (greatest(n, 1.0) - stops) + 300.0 * uniq)
+       |                   / (1000.0 * greatest(n, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+       |      FROM g)
+       |SELECT doc_id, $groupCol, quality, rk FROM (
+       |  SELECT doc_id, $groupCol, quality,
+       |         row_number() OVER (PARTITION BY $groupCol ORDER BY quality DESC, doc_id ASC) AS rk
+       |  FROM q
+       |) WHERE rk <= $k""".stripMargin
+
   val tokenCounts: String =
     """SELECT doc_id,
       |       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,

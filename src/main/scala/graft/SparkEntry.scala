@@ -354,6 +354,14 @@ object SparkEntry {
     "op_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(docsTable(s, d), "doc_id", "text")),
     "op_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenCounts(docsTable(s, d), "doc_id", "text")),
     "op_fingerprint" -> ((s, d) => graft.ops.TextAnalysis.fingerprint(docsTable(s, d), "doc_id", "text")),
+    // training-data pipeline: deterministic sampling / selection
+    "op_sample_hash" -> ((s, d) =>
+      graft.ops.Sampling.hashSample(docsTable(s, d), "doc_id", 0.25)),
+    "op_sample_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSample(docsTable(s, d), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)),
+    "op_select_topk" -> ((s, d) =>
+      graft.ops.Sampling.topKPerGroup(docsTable(s, d), "doc_id", "text", "source", 5)),
     // training-data pipeline: multimodal binary plumbing
     "op_mm_meta" -> ((s, d) => graft.ops.Multimodal.binaryMeta(docsTable(s, d), "doc_id", "text")),
     "op_mm_decode" -> ((s, d) => graft.ops.Multimodal.decodeFeatures(docsTable(s, d), "doc_id", "text")),
@@ -505,6 +513,10 @@ object SparkEntry {
     "op_quality" -> OpsOracle.quality,
     "op_tokens" -> OpsOracle.tokenCounts,
     "op_fingerprint" -> OpsOracle.fingerprint,
+    "op_sample_hash" -> OpsOracle.sampleHash(0.25),
+    "op_sample_stratified" -> OpsOracle.sampleStratified(
+      Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1),
+    "op_select_topk" -> OpsOracle.selectTopKPerGroup(5),
     "op_mm_meta" -> OpsOracle.mmMeta,
     "op_mm_decode" -> OpsOracle.mmDecode,
     "op_mm_frames" -> OpsOracle.mmFrames,

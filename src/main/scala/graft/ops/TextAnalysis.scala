@@ -31,6 +31,23 @@ object TextAnalysis {
       when(ratio > threshold, lit("en")).otherwise(lit("und")).as("lang_guess"))
   }
 
+  /** The composite quality score as a standalone column — the identical
+    * expression [[quality]] emits as its `quality` output (0.4·min(n,100)/100
+    * + 0.3·(1−stop_ratio) + 0.3·ttr as one exact integer-rational division,
+    * floor-rounded to 4 places; see the notes in [[quality]]). Shared with
+    * [[Sampling.topKPerGroup]] so selection ranks by exactly the gated score.
+    */
+  def qualityCol(text: Column): Column = {
+    val toks = rawTokens(text)
+    val n = size(toks).cast("double")
+    val nz = greatest(size(toks), lit(1)).cast("double")
+    val stops = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    val score = (lit(4.0) * least(n, lit(100.0)) * nz +
+      lit(300.0) * (nz - stops) + lit(300.0) * uniq) / (lit(1000.0) * nz)
+    floor(score * 10000.0 + 0.5) / 10000.0
+  }
+
   /** Quality scoring: length, mean token length, stop-word ratio, type-token
     * ratio, and a composite score — the length/punct/stopword-ratio family
     * of heuristic quality filters.
@@ -44,12 +61,10 @@ object TextAnalysis {
     val stopRatio = stops / nz
     val uniq = size(array_distinct(toks)).cast("double")
     val ttr = uniq / nz
-    // composite 0.4·min(n,100)/100 + 0.3·(1−stop_ratio) + 0.3·ttr, computed
-    // as ONE exact integer-rational division — a multi-term double sum can
-    // land exactly on a .00005 rounding boundary where 1-ulp engine
-    // differences flip round(·,4) (observed vs DuckDB at sf0.1)
-    val score = (lit(4.0) * least(n, lit(100.0)) * nz +
-      lit(300.0) * (nz - stops) + lit(300.0) * uniq) / (lit(1000.0) * nz)
+    // composite score: see qualityCol — ONE exact integer-rational division,
+    // because a multi-term double sum can land exactly on a .00005 rounding
+    // boundary where 1-ulp engine differences flip round(·,4) (observed vs
+    // DuckDB at sf0.1)
     // arithmetic rounding floor(x*1e4+0.5)/1e4: these are rational values
     // that can land exactly on the rounding grid, where Spark's decimal-
     // string HALF_UP and DuckDB's binary rounding disagree; floor-based
@@ -61,7 +76,7 @@ object TextAnalysis {
       r4(meanLen).as("mean_token_len"),
       r4(stopRatio).as("stop_ratio"),
       r4(ttr).as("ttr"),
-      r4(score).as("quality"))
+      qualityCol(col(textCol)).as("quality"))
   }
 
   /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish

@@ -136,6 +136,18 @@ class PlansSpec extends SparkSpec {
     assert(scans <= 5, s"expected <=5 corpus scans, got $scans\n${plan.take(3000)}")
   }
 
+  test("hash/stratified sampling are narrow maps; group selection shuffles once (round 5)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p1 = planOf(graft.ops.Sampling.hashSample(docs, "doc_id", 0.25))
+    assert(!p1.contains("Exchange"), p1.take(2000))
+    val p2 = planOf(graft.ops.Sampling.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5), 0.1))
+    assert(!p2.contains("Exchange"), p2.take(2000))
+    val p3 = planOf(graft.ops.Sampling.topKPerGroup(docs, "doc_id", "text", "source", 5))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p3).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n${p3.take(2000)}")
+  }
+
   test("IVF probe is scan -> narrow filter -> top-k: no join, no exchange (round 5)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding", 42))
