@@ -229,10 +229,26 @@ final class QueryParser(
     tpe match {
       case Some(t) => NumTermQ(field, t, parseTyped(t, raw))
       case None =>
-        // fuzzy suffix
+        // fuzzy suffix — Lucene FuzzyQuery.floatToEdits semantics (the
+        // reference's parser is Lucene's classic QueryParser, which still
+        // accepts the legacy similarity-float form): an integer is an edit
+        // count, a fraction in (0,1) is a minimum similarity mapped to
+        // ⌊(1−sim)·termLen⌋ edits, and everything caps at Lucene's
+        // LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE = 2
         if (peek == '~') {
           i += 1
-          val edits = if (peek.isDigit) readNumber().toInt else 2
+          val edits =
+            if (!peek.isDigit) 2
+            else {
+              // FLOAT precision on purpose: Lucene parses the similarity
+              // with Float.parseFloat, and floatToEdits computes
+              // (int)((1D - minimumSimilarity) * termLen) — e.g. "x~0.8"
+              // on a 5-char term is (1D-0.8f)*5 = 0.99999994 -> 0 edits
+              val x = readNumber().toFloat
+              if (x >= 1f) math.min(x, 2f).toInt
+              else if (x == 0f) 0
+              else math.min(((1d - x) * raw.length).toInt, 2)
+            }
           FuzzyQ(field, raw, edits)
         } else if (wildIdx.nonEmpty) {
           require(allowLeadingWildcard || wildIdx.head != 0,

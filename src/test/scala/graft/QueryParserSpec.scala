@@ -78,6 +78,14 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("qu?rum") === WildcardQ("default", "qu?rum"))
     assert(p("paxos~") === FuzzyQ("default", "paxos", 2))
     assert(p("paxos~1") === FuzzyQ("default", "paxos", 1))
+    // Lucene FuzzyQuery.floatToEdits: legacy similarity floats and the
+    // MAXIMUM_SUPPORTED_DISTANCE=2 cap (reference parser is Lucene classic;
+    // float precision matters: (1D-0.8f)*5 = 0.99999994 -> 0 edits)
+    assert(p("paxos~0.8") === FuzzyQ("default", "paxos", 0))
+    assert(p("paxos~0.7") === FuzzyQ("default", "paxos", 1)) // (1D-0.7f)*5 = 1.5
+    assert(p("paxos~0.4") === FuzzyQ("default", "paxos", 2)) // 3.0 -> cap 2
+    assert(p("paxos~0") === FuzzyQ("default", "paxos", 0))
+    assert(p("paxos~5") === FuzzyQ("default", "paxos", 2)) // integer cap
     assert(p("merge^2.5") === BoostQ(TermQ("default", "merge"), 2.5))
   }
 
