@@ -59,6 +59,8 @@ object SegmentStore {
 
   private def shardSpecPath(dir: String) = Paths.get(s"$dir/checkpoints/shardspec.json")
 
+  def hasShardSpec(dir: String): Boolean = Files.exists(shardSpecPath(dir))
+
   def writeShardSpec(dir: String, docsPerShard: Long): Unit = {
     Files.createDirectories(shardSpecPath(dir).getParent)
     Files.writeString(shardSpecPath(dir), s"""{"docsPerShard": $docsPerShard}""")

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * in any engine (the DuckDB oracle recomputes them bit-identically) — no
   * JVM-specific hash functions in data paths.
   *
+  * PRECONDITION: `idCol` is a unique document id (one row per id). The
+  * per-row signature formulations do not merge duplicate-id rows — a table
+  * with repeated ids is an upstream data bug ([[exact]] is the operator
+  * that finds content duplicates ACROSS distinct ids).
+  *
   * Scale notes: every operator is a pure column pipeline (codegen'd, no
   * UDFs). Pair generation is always LSH-banded (candidates ∝ hash
   * collisions, never N²) with a per-bucket neighbor cap, so even a

@@ -97,6 +97,14 @@ object Similarity {
   // Catalyst `aggregate`/`zip_with` fold, so assignments — and therefore the
   // gated outputs — are unchanged.
 
+  /** IVF input frame: (vid, v) with null vectors dropped — the driver-side
+    * collects (query vector, centroids, Lloyd means) would NPE on a null
+    * Seq, and a null embedding can never rank in a cosine top-k anyway.
+    */
+  private def ivfInput(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+
   /** Collect a (≤ nCentroids)-row centroid frame as (cid, components-as-double),
     * sorted by cid. Bounded driver collect, never corpus-sized.
     */
@@ -163,7 +171,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8): DataFrame = {
-    val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val e = ivfInput(emb, idCol, vecCol)
     val cents = collectCentroids(
       e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
     queryVec(e, queryId).filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
@@ -181,7 +189,7 @@ object Similarity {
     */
   def ivfProbeTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8, nprobe: Int = 3): DataFrame = {
-    val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val e = ivfInput(emb, idCol, vecCol)
     val cents = collectCentroids(
       e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
     queryVec(e, queryId).filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
@@ -204,7 +212,7 @@ object Similarity {
     */
   def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8, iters: Int = 2): DataFrame = {
-    val e = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
+    val e = ivfInput(emb, idCol, vecCol)
     var cents = collectCentroids(
       e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
     val qvecOpt = queryVec(e, queryId).filter(_ => cents.nonEmpty)

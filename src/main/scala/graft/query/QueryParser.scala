@@ -245,9 +245,14 @@ final class QueryParser(
               // (int)((1D - minimumSimilarity) * termLen) — e.g. "x~0.8"
               // on a 5-char term is (1D-0.8f)*5 = 0.99999994 -> 0 edits
               val x = readNumber().toFloat
-              if (x >= 1f) math.min(x, 2f).toInt
-              else if (x == 0f) 0
-              else math.min(((1d - x) * raw.length).toInt, 2)
+              if (x >= 1f) {
+                // Lucene QueryParserBase.handleBareFuzzy rejects fractional
+                // edit distances (e.g. ~1.5) with a ParseException
+                require(x == x.toInt.toFloat,
+                  s"fractional edit distances are not allowed: ~$x")
+                math.min(x, 2f).toInt
+              } else if (x == 0f) 0
+              else math.min(((1d - x) * raw.codePointCount(0, raw.length)).toInt, 2)
             }
           FuzzyQ(field, raw, edits)
         } else if (wildIdx.nonEmpty) {

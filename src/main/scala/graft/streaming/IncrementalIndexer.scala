@@ -80,8 +80,11 @@ object IncrementalIndexer {
     import spark.implicits._
     if (!SegmentStore.stageDone(dir, "spec")) {
       SegmentStore.writeSpec(spark, dir, fields)
-      SegmentStore.writeShardSpec(dir, docsPerShard)
     }
+    // own guard, NOT tied to the spec checkpoint: a crash between the spec
+    // commit and this write must still produce a shardspec on replay (the
+    // same per-file guard SegmentStore.build uses)
+    if (!SegmentStore.hasShardSpec(dir)) SegmentStore.writeShardSpec(dir, docsPerShard)
     // the shard spec is an INDEX property, not a batch property: readers
     // route docIds (and tombstones) by the persisted value, so a later call
     // passing a different docsPerShard must not silently re-shard its

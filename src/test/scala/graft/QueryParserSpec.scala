@@ -86,6 +86,8 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("paxos~0.4") === FuzzyQ("default", "paxos", 2)) // 3.0 -> cap 2
     assert(p("paxos~0") === FuzzyQ("default", "paxos", 0))
     assert(p("paxos~5") === FuzzyQ("default", "paxos", 2)) // integer cap
+    // Lucene rejects fractional EDIT distances (handleBareFuzzy)
+    intercept[IllegalArgumentException](p("paxos~1.5"))
     assert(p("merge^2.5") === BoostQ(TermQ("default", "merge"), 2.5))
   }
 
