@@ -350,6 +350,42 @@ object OpsOracle {
        |) WHERE bucket < thr""".stripMargin
   }
 
+  /** Train/val/test split by cumulative bucket cuts — thresholds come from
+    * the SAME `Sampling.threshold` scan as the Spark side, so the two
+    * engines can never disagree on a boundary.
+    */
+  def splitAssign(fractions: Seq[(String, Double)], salt: String = "graft"): String = {
+    val cuts = fractions.map(_._2)
+      .scanLeft(0L)((acc, f) => acc + graft.ops.Sampling.threshold(f)).tail
+    val whens = fractions.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN bucket < $cut THEN '$name'"
+    }.mkString(" ")
+    s"""SELECT doc_id, bucket,
+       |       CASE $whens ELSE '${fractions.last._1}' END AS split
+       |FROM (SELECT doc_id, ${bucketExpr(salt)} AS bucket FROM documents)""".stripMargin
+  }
+
+  /** Distinct shingle hashes per doc + the benchmark/corpus slice split
+    * shared by both decontamination oracles.
+    */
+  private def decontamCtes(benchMod: Int): String =
+    s"""$shingleCtes,
+       |shh AS (SELECT DISTINCT doc_id, ${h64("shingle")} AS shash FROM sh),
+       |bench AS (SELECT DISTINCT shash FROM shh WHERE doc_id % $benchMod = 0),
+       |corp AS (SELECT doc_id, shash FROM shh WHERE doc_id % $benchMod <> 0),
+       |hits AS (SELECT corp.doc_id AS doc_id, count(*) AS hits
+       |         FROM corp JOIN bench USING (shash) GROUP BY corp.doc_id)""".stripMargin
+
+  def decontamHits(benchMod: Int = 17, minHits: Int = 2): String =
+    s"""WITH ${decontamCtes(benchMod)}
+       |SELECT doc_id, hits, hits >= $minHits AS contaminated FROM hits""".stripMargin
+
+  def decontamClean(benchMod: Int = 17, minHits: Int = 2): String =
+    s"""WITH ${decontamCtes(benchMod)}
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % $benchMod <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= $minHits)""".stripMargin
+
   /** Top-k per group by the composite quality score — the `quality` CTE's
     * score expression with a per-group row_number window.
     */

@@ -362,6 +362,23 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)),
     "op_select_topk" -> ((s, d) =>
       graft.ops.Sampling.topKPerGroup(docsTable(s, d), "doc_id", "text", "source", 5)),
+    "op_split_assign" -> ((s, d) =>
+      graft.ops.Sampling.splitAssign(docsTable(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // training-data pipeline: benchmark decontamination (bench = the
+    // doc_id % 17 slice, standing in for a small eval suite)
+    "op_decontam_hits" -> ((s, d) => {
+      val docs = docsTable(s, d)
+      graft.ops.Decontam.contaminationHits(
+        docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "doc_id", "text")
+    }),
+    "op_decontam_clean" -> ((s, d) => {
+      val docs = docsTable(s, d)
+      graft.ops.Decontam.decontaminate(
+        docs.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 17 === 0), "doc_id", "text")
+    }),
     // training-data pipeline: multimodal binary plumbing
     "op_mm_meta" -> ((s, d) => graft.ops.Multimodal.binaryMeta(docsTable(s, d), "doc_id", "text")),
     "op_mm_decode" -> ((s, d) => graft.ops.Multimodal.decodeFeatures(docsTable(s, d), "doc_id", "text")),
@@ -517,6 +534,10 @@ object SparkEntry {
     "op_sample_stratified" -> OpsOracle.sampleStratified(
       Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1),
     "op_select_topk" -> OpsOracle.selectTopKPerGroup(5),
+    "op_split_assign" -> OpsOracle.splitAssign(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "op_decontam_hits" -> OpsOracle.decontamHits(),
+    "op_decontam_clean" -> OpsOracle.decontamClean(),
     "op_mm_meta" -> OpsOracle.mmMeta,
     "op_mm_decode" -> OpsOracle.mmDecode,
     "op_mm_frames" -> OpsOracle.mmFrames,

@@ -185,7 +185,8 @@ object IndexBuilder {
     import spark.implicits._
     withMarkers.filter(_.term == DlMarker).toDF()
       .groupBy($"field")
-      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
+      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"),
+        sum($"dl").cast("long").as("sumDl"))
   }
 
   /** Salted two-phase term statistics: partial (term, salt) combine, then
@@ -213,7 +214,8 @@ object IndexBuilder {
       .groupBy($"field", $"docId")
       .agg(first($"dl").as("dl"))
       .groupBy($"field")
-      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"))
+      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"),
+        sum($"dl").cast("long").as("sumDl"))
   }
 
   /** Build the full index over `docs`. `docs` must already carry a stable

@@ -206,7 +206,8 @@ object SegmentStore {
         // marker rows: per-shard (docCount, Σdl) → global docCount + avgdl
         val fsRows = seg.filter(col("term") === IndexBuilder.DlMarker)
           .groupBy(col("field"))
-          .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"))
+          .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"),
+            sum(col("cf")).as("sumDl"))
           .as[FieldStats].collect().toIndexedSeq
         spark.createDataset(fsRows)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
@@ -487,10 +488,14 @@ object SegmentStore {
       .groupBy($"field", $"term")
       .agg(sum($"df").as("df"), sum($"cf").as("cf"))
       .as[TermStats]
+    // exact fold: Σdl travels as a long per generation, so the merged avgdl
+    // is one division over exact integer sums — no docCount·avgdl FP
+    // round-trip that could drift after many appended generations
     val mergedField = spark.read.parquet(s"$dir/fieldstats")
       .groupBy($"field")
       .agg(sum($"docCount").as("docCount"),
-        (sum($"docCount" * $"avgdl") / sum($"docCount")).as("avgdl"))
+        (sum($"sumDl") / sum($"docCount")).as("avgdl"),
+        sum($"sumDl").as("sumDl"))
       .as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap
     new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields, base.docsPerShard,
@@ -554,7 +559,8 @@ object SegmentStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/termstats")
     seg.filter(col("term") === IndexBuilder.DlMarker)
       .groupBy(col("field"))
-      .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"))
+      .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"),
+        sum(col("cf")).as("sumDl"))
       .as[FieldStats]
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
     commitStage(outDir, "stats", Map.empty)

@@ -72,10 +72,13 @@ object StatsLookup {
   }
 }
 
-/** Per-field corpus statistics for BM25: number of docs with the field and
-  * average field length.
+/** Per-field corpus statistics for BM25: number of docs with the field,
+  * average field length, and the exact Σdl the average was derived from.
+  * `sumDl` makes multi-generation folds exact — `openMerged` sums longs and
+  * divides once instead of reconstituting Σdl as docCount·avgdl (an FP
+  * round-trip that could drift a 4th decimal after many generations).
   */
-final case class FieldStats(field: String, docCount: Long, avgdl: Double)
+final case class FieldStats(field: String, docCount: Long, avgdl: Double, sumDl: Long)
 
 /** Per-(doc, field) length row. */
 final case class DocLength(docId: Long, field: String, dl: Int)

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the last gate before a corpus becomes
+  * training data: find (and drop) documents that overlap an evaluation
+  * benchmark by shared word-w-gram shingles, so the model is never trained
+  * on its own test set.
+  *
+  * Scale shape: the benchmark side is an eval suite — thousands to a few
+  * million shingles, microscopic next to a 100 TB corpus — so its distinct
+  * shingle-hash set is explicitly `broadcast()`. The corpus side is then one
+  * narrow scan: per-row distinct shingle hashes, explode, broadcast-hash
+  * semi/inner join, map-side partial count. No corpus-sized shuffle exists
+  * in either operator; the only aggregation key is `doc_id` over rows that
+  * already matched a benchmark shingle (a vanishing fraction of the corpus).
+  *
+  * Hashing is md5-derived ([[Dedup.hash64]]) like every gated op, so the
+  * DuckDB oracle reproduces hit counts bit-for-bit.
+  */
+object Decontam {
+
+  /** Distinct shingle hashes per doc, exploded to (doc_id, shash) rows. */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(transform(Dedup.shingles(col(textCol), w),
+          s => Dedup.hash64(s)))).as("shash"))
+
+  /** Per-document contamination hits: the number of distinct word-w-gram
+    * shingles a corpus document shares with the UNION of all benchmark
+    * documents' shingles. Emits only documents with ≥1 hit, flagged
+    * `contaminated` when hits ≥ `minHits` (single-shingle collisions on
+    * short boilerplate are common; real pipelines set a threshold).
+    */
+  def contaminationHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      w: Int = 3,
+      minHits: Int = 2): DataFrame = {
+    val benchSh = broadcast(
+      shingleHashes(bench, benchIdCol, benchTextCol, w).select(col("shash")).distinct())
+    shingleHashes(docs, idCol, textCol, w)
+      .join(benchSh, Seq("shash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("contaminated", col("hits") >= minHits)
+  }
+
+  /** The clean corpus: documents with FEWER than `minHits` benchmark-shingle
+    * overlaps, as a broadcast anti-join against the contaminated id set —
+    * the id set is bounded by the benchmark's blast radius, not the corpus.
+    * Emits surviving doc ids (join back to the source for full rows).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      w: Int = 3,
+      minHits: Int = 2): DataFrame = {
+    val bad = contaminationHits(docs, idCol, textCol, bench, benchIdCol, benchTextCol, w, minHits)
+      .filter(col("contaminated")).select(col("doc_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+  }
+}

@@ -61,6 +61,31 @@ object Sampling {
       .filter(col("bucket") < thr)
   }
 
+  /** Deterministic train/val/test split assignment: the hash bucket is cut
+    * at the cumulative fraction boundaries, so every row gets exactly one
+    * label, the assignment is reproducible in any engine, and re-running
+    * over a grown corpus never moves an existing row between splits (a
+    * row's bucket depends only on its id and the salt). Map-only.
+    *
+    * `fractions` are (label, fraction) in order; the LAST label absorbs any
+    * rounding remainder so the labels partition the bucket space exactly.
+    */
+  def splitAssign(
+      docs: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty, "splitAssign needs at least one label")
+    val cuts = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + threshold(f)).tail
+    val bucket = col("bucket")
+    val label = fractions.init.zip(cuts.init).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        hashBucket(col(idCol).cast("long"), salt).as("bucket"))
+      .withColumn("split", label)
+  }
+
   /** Quality-based selection: the top `k` documents per group by the
     * composite quality score ([[TextAnalysis.qualityCol]] — identical
     * expression to the op_quality gate), ties broken by doc id. One shuffle

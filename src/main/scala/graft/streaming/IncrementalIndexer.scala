@@ -124,7 +124,8 @@ object IncrementalIndexer {
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
       val fsRows = seg.filter(col("term") === IndexBuilder.DlMarker)
         .groupBy(col("field"))
-        .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"))
+        .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"),
+          sum(col("cf")).as("sumDl"))
         .as[FieldStats].collect().toIndexedSeq
       spark.createDataset(fsRows)
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/fieldstats")
