@@ -386,6 +386,59 @@ object OpsOracle {
        |WHERE doc_id % $benchMod <> 0
        |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= $minHits)""".stripMargin
 
+  /** Context-window chunking: per-doc token list, window starts every
+    * `stride`, 1-based inclusive list_slice — mirrors Chunking.chunk's
+    * sequence/slice shape (both keep the short final window).
+    */
+  def chunk(chunkSize: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), $stride)) AS start
+       |      FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, (start // $stride)::BIGINT AS chunk_id,
+       |       array_to_string(list_slice(toks, start + 1, start + $chunkSize), ' ') AS chunk_text,
+       |       least($chunkSize, len(toks) - start)::BIGINT AS n_tokens
+       |FROM s""".stripMargin
+
+  /** Sequence packing: same salted bucket hash as the Spark side, cumulative
+    * token sums per bucket in doc_id order (unique keys, so the default
+    * RANGE frame equals ROWS in both engines), floor-divided by the budget.
+    */
+  def pack(budget: Long = 2048L, numBuckets: Int = 32, salt: String = "graft"): String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         ${h64(s"doc_id::VARCHAR || ':$salt'")} % $numBuckets AS bucket,
+       |         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+       |      FROM b)
+       |SELECT doc_id, bucket, n_tokens,
+       |       floor((cum - n_tokens) / ${budget}.0)::BIGINT AS pack_id
+       |FROM c""".stripMargin
+
+  /** Distinct (doc, shingle) pairs + the corpus-global top-k boilerplate
+    * shingle set shared by both boilerplate oracles.
+    */
+  private def boilerplateCtes(k: Int): String =
+    s"""$shingleCtes,
+       |d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |top AS (SELECT shingle, count(*)::BIGINT AS df FROM d GROUP BY shingle
+       |        ORDER BY df DESC, shingle ASC LIMIT $k)""".stripMargin
+
+  def boilerplate(k: Int = 20): String =
+    s"""WITH ${boilerplateCtes(k)}
+       |SELECT shingle, df FROM top""".stripMargin
+
+  def boilerplateRatio(k: Int = 20): String =
+    s"""WITH ${boilerplateCtes(k)},
+       |n AS (SELECT doc_id, count(*)::DOUBLE AS n_shingles FROM d GROUP BY doc_id),
+       |h AS (SELECT d.doc_id AS doc_id, count(*)::DOUBLE AS hits
+       |      FROM d JOIN top USING (shingle) GROUP BY d.doc_id)
+       |SELECT h.doc_id AS doc_id,
+       |       floor(h.hits / n.n_shingles * 1000000.0 + 0.5) / 1000000.0 AS bp_ratio
+       |FROM h JOIN n ON n.doc_id = h.doc_id""".stripMargin
+
   /** Top-k per group by the composite quality score — the `quality` CTE's
     * score expression with a per-group row_number window.
     */

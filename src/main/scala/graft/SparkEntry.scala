@@ -365,6 +365,13 @@ object SparkEntry {
     "op_split_assign" -> ((s, d) =>
       graft.ops.Sampling.splitAssign(docsTable(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // training-data pipeline: sequence shaping + boilerplate analysis
+    "op_chunk" -> ((s, d) => graft.ops.Chunking.chunk(docsTable(s, d), "doc_id", "text")),
+    "op_pack" -> ((s, d) => graft.ops.Chunking.pack(docsTable(s, d), "doc_id", "text")),
+    "op_boilerplate" -> ((s, d) =>
+      graft.ops.TextAnalysis.boilerplate(docsTable(s, d), "doc_id", "text")),
+    "op_boilerplate_ratio" -> ((s, d) =>
+      graft.ops.TextAnalysis.boilerplateRatio(docsTable(s, d), "doc_id", "text")),
     // training-data pipeline: benchmark decontamination (bench = the
     // doc_id % 17 slice, standing in for a small eval suite)
     "op_decontam_hits" -> ((s, d) => {
@@ -536,6 +543,10 @@ object SparkEntry {
     "op_select_topk" -> OpsOracle.selectTopKPerGroup(5),
     "op_split_assign" -> OpsOracle.splitAssign(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "op_chunk" -> OpsOracle.chunk(),
+    "op_pack" -> OpsOracle.pack(),
+    "op_boilerplate" -> OpsOracle.boilerplate(),
+    "op_boilerplate_ratio" -> OpsOracle.boilerplateRatio(),
     "op_decontam_hits" -> OpsOracle.decontamHits(),
     "op_decontam_clean" -> OpsOracle.decontamClean(),
     "op_mm_meta" -> OpsOracle.mmMeta,

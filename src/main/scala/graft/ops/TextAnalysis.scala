@@ -98,4 +98,42 @@ object TextAnalysis {
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       md5(array_join(array_sort(array_distinct(rawTokens(col(textCol)))), " ")).as("fingerprint"))
+
+  /** Boilerplate detection: the `k` word-w-gram shingles appearing in the
+    * most documents (headers, footers, license blurbs, templated spam —
+    * repeated verbatim across a web corpus). One narrow scan (per-row
+    * distinct shingles, exploded), a map-side-combined count on the shingle
+    * key, and a TakeOrdered top-k — no corpus-sized sort. Ties break on the
+    * shingle string so the top-k boundary is a total order in any engine.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 20): DataFrame =
+    docs.select(explode(array_distinct(Dedup.shingles(col(textCol), w))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+
+  /** Per-document boilerplate contamination: the fraction of a document's
+    * distinct shingles that land in the corpus-global top-k boilerplate set
+    * (the usual "drop docs that are mostly template" filter). The top-k set
+    * is tiny by construction, so it joins back `broadcast()` — the corpus
+    * side stays one narrow scan + broadcast hash join, like [[Decontam]].
+    * Emits only documents with ≥1 boilerplate shingle (absent docs have
+    * ratio 0 — the overwhelming majority of a clean corpus never shuffles).
+    */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, k: Int = 20): DataFrame = {
+    val top = broadcast(boilerplate(docs, idCol, textCol, w, k).select(col("shingle")))
+    val perDoc = docs.select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(Dedup.shingles(col(textCol), w)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    perDoc.select(col("doc_id"), size(col("sh")).cast("double").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .join(top, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).cast("double").as("hits"))
+      .select(col("doc_id"),
+        (floor(col("hits") / col("n_shingles") * 1000000.0 + 0.5) / 1000000.0)
+          .as("bp_ratio"))
+  }
 }

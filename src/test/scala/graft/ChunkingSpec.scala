@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Chunking, TextAnalysis}
+
+/** Behavior + plan-shape specs for the sequence-shaping (chunk/pack) and
+  * boilerplate-analysis operators.
+  */
+class ChunkingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- chunk ---------------------------------------------------------------
+
+  test("chunk windows cover every token with the stride overlap") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val out = Chunking.chunk(docs((1L, text)), "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    // starts 0,3,6,9 → windows [1..4],[4..7],[7..10],[10]
+    assert(out.toSeq == Seq(
+      (0L, "w1 w2 w3 w4", 4L),
+      (1L, "w4 w5 w6 w7", 4L),
+      (2L, "w7 w8 w9 w10", 4L),
+      (3L, "w10", 1L)))
+  }
+
+  test("chunk of a doc shorter than one window is the doc itself") {
+    val out = Chunking.chunk(docs((1L, "a b")), "doc_id", "text", chunkSize = 8, stride = 8)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, "a b", 2L)))
+  }
+
+  test("chunk is a narrow map: no exchange") {
+    val plan = Chunking.chunk(docs((1L, "a b c")), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  // ---- pack ----------------------------------------------------------------
+
+  test("pack fills each bucket's packs to the budget in doc_id order") {
+    // one bucket so the cumulative order is fully known
+    val d = docs((0L until 20L).map(i => (i, "tok " * 10)): _*) // 10 tokens each
+    val out = Chunking.pack(d, "doc_id", "text", budget = 25L, numBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    // cum before doc i = 10*i → pack = floor(10*i/25): docs 0-2 pack0, 3-4 pack1, ...
+    out.foreach { case (id, p) => assert(p == (10 * id) / 25, s"doc $id in pack $p") }
+  }
+
+  test("pack never splits a doc and packs exceed the budget by at most one doc") {
+    val d = docs((0L until 200L).map(i => (i, "x " * (1 + (i % 13).toInt))): _*)
+    val rows = Chunking.pack(d, "doc_id", "text", budget = 30L, numBuckets = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(2)))
+    assert(rows.length == 200)
+    val maxDoc = rows.map(_._3).max
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((b, p), g) =>
+      val tot = g.map(_._3).sum
+      assert(tot <= 30L + maxDoc, s"bucket $b pack $p holds $tot tokens")
+    }
+  }
+
+  test("pack shuffles once, on the bucket key") {
+    val d = docs((0L until 10L).map(i => (i, "x y z")): _*)
+    val plan = Chunking.pack(d, "doc_id", "text").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(plan.contains("hashpartitioning(bucket"), plan.take(3000))
+  }
+
+  // ---- boilerplate -----------------------------------------------------------
+
+  private val template = "this product is great buy now"
+  private def corpusWithBoilerplate = docs(
+    (1L, s"review one $template"),
+    (2L, s"review two $template"),
+    (3L, s"review three $template"),
+    (4L, "something else entirely different here"))
+
+  test("boilerplate surfaces the shingles shared across the most documents") {
+    val top = TextAnalysis.boilerplate(corpusWithBoilerplate, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.forall(_._2 == 3L), top.mkString(", "))
+    assert(top.map(_._1).toSet.subsetOf(Set(
+      "this product is", "product is great", "is great buy", "great buy now")))
+  }
+
+  test("boilerplateRatio flags template-dominated docs; broadcast join shape") {
+    val df = TextAnalysis.boilerplateRatio(corpusWithBoilerplate, "doc_id", "text", k = 4)
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs 1-3: 6 distinct shingles each ("review one this", "one this product"
+    // + the 4 template shingles) → 4/6; doc 4 has no top-k shingle → absent
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(v => math.abs(v - 0.666667) < 1e-9), out.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+}
