@@ -417,6 +417,28 @@ object OpsOracle {
        |       floor((cum - n_tokens) / ${budget}.0)::BIGINT AS pack_id
        |FROM c""".stripMargin
 
+  /** Intra-doc repetition: 1 − distinct/total shingles per doc — the exact
+    * integer rational TextAnalysis.repetition computes per row.
+    */
+  val repetition: String =
+    s"""WITH $shingleCtes
+       |SELECT doc_id,
+       |       floor((count(*) - count(DISTINCT shingle))::DOUBLE / count(*)
+       |             * 1000000.0 + 0.5) / 1000000.0 AS rep_ratio
+       |FROM sh GROUP BY doc_id""".stripMargin
+
+  /** Mean document-frequency over each doc's token instances. */
+  val tokenFrequency: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents
+       |),
+       |vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+       |SELECT tok.doc_id AS doc_id,
+       |       floor(sum(vocab.df)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_df
+       |FROM tok JOIN vocab USING (term)
+       |GROUP BY tok.doc_id""".stripMargin
+
   /** Distinct (doc, shingle) pairs + the corpus-global top-k boilerplate
     * shingle set shared by both boilerplate oracles.
     */

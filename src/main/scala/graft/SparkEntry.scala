@@ -372,6 +372,10 @@ object SparkEntry {
       graft.ops.TextAnalysis.boilerplate(docsTable(s, d), "doc_id", "text")),
     "op_boilerplate_ratio" -> ((s, d) =>
       graft.ops.TextAnalysis.boilerplateRatio(docsTable(s, d), "doc_id", "text")),
+    "op_repetition" -> ((s, d) =>
+      graft.ops.TextAnalysis.repetition(docsTable(s, d), "doc_id", "text")),
+    "op_tok_freq" -> ((s, d) =>
+      graft.ops.TextAnalysis.tokenFrequency(docsTable(s, d), "doc_id", "text")),
     // training-data pipeline: benchmark decontamination (bench = the
     // doc_id % 17 slice, standing in for a small eval suite)
     "op_decontam_hits" -> ((s, d) => {
@@ -547,6 +551,8 @@ object SparkEntry {
     "op_pack" -> OpsOracle.pack(),
     "op_boilerplate" -> OpsOracle.boilerplate(),
     "op_boilerplate_ratio" -> OpsOracle.boilerplateRatio(),
+    "op_repetition" -> OpsOracle.repetition,
+    "op_tok_freq" -> OpsOracle.tokenFrequency,
     "op_decontam_hits" -> OpsOracle.decontamHits(),
     "op_decontam_clean" -> OpsOracle.decontamClean(),
     "op_mm_meta" -> OpsOracle.mmMeta,

@@ -99,6 +99,40 @@ object TextAnalysis {
       col(idCol).cast("long").as("doc_id"),
       md5(array_join(array_sort(array_distinct(rawTokens(col(textCol)))), " ")).as("fingerprint"))
 
+  /** Intra-document repetition score: the fraction of a document's word-w-gram
+    * shingles that are repeats of an earlier shingle in the same document
+    * (1 − distinct/total) — the "remove documents that loop" filter. Pure
+    * per-row arithmetic on one materialized shingle array: map-only, and the
+    * ratio is an exact integer rational, so the floor rounding is stable in
+    * any engine. Documents with < w tokens have no shingles and are absent.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        Dedup.shingles(col(textCol), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        (floor((size(col("sh")) - size(array_distinct(col("sh")))).cast("double")
+          / size(col("sh")).cast("double") * 1000000.0 + 0.5) / 1000000.0).as("rep_ratio"))
+
+  /** Corpus-frequency scoring: each document's mean document-frequency over
+    * its token instances — low means rare/garbled vocabulary, high means
+    * function-word soup; both tails get filtered in real pipelines. The df
+    * vocabulary is Zipf-bounded (≪ corpus size), so it joins back
+    * `broadcast()`; a document's tokens all live in one input row, so the
+    * per-doc re-aggregation combines map-side to one row per document before
+    * the only shuffle. Mean df is an exact integer rational (floor-rounded).
+    */
+  def tokenFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val vocab = docs.select(explode(array_distinct(rawTokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    docs.select(col(idCol).cast("long").as("doc_id"), explode(rawTokens(col(textCol))).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("df")).cast("double").as("sdf"))
+      .select(col("doc_id"),
+        (floor(col("sdf") / col("n") * 10000.0 + 0.5) / 10000.0).as("mean_df"))
+  }
+
   /** Boilerplate detection: the `k` word-w-gram shingles appearing in the
     * most documents (headers, footers, license blurbs, templated spam —
     * repeated verbatim across a web corpus). One narrow scan (per-row

@@ -87,6 +87,35 @@ class ChunkingSpec extends SparkSpec {
       "this product is", "product is great", "is great buy", "great buy now")))
   }
 
+  test("repetition scores looping documents; non-repeating docs score 0") {
+    val out = TextAnalysis.repetition(docs(
+        (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct -> 4/7
+        (2L, "one two three four"), // 2 shingles, both distinct -> 0
+        (3L, "a b")), // < w tokens -> absent
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L) - 0.571429) < 1e-9, out.toString)
+    assert(out(2L) == 0.0)
+  }
+
+  test("repetition is a narrow map: no exchange") {
+    val plan = TextAnalysis.repetition(docs((1L, "a b c d")), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("tokenFrequency averages corpus df over token instances, broadcast vocab") {
+    // df: a->2 docs, b->2, c->1, d->1
+    val df = TextAnalysis.tokenFrequency(docs((1L, "a b a"), (2L, "a b c d")), "doc_id", "text")
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 2.0)               // (2+2+2)/3
+    assert(out(2L) == 1.5)               // (2+2+1+1)/4
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("boilerplateRatio flags template-dominated docs; broadcast join shape") {
     val df = TextAnalysis.boilerplateRatio(corpusWithBoilerplate, "doc_id", "text", k = 4)
     val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
