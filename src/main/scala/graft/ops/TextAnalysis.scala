@@ -116,17 +116,22 @@ object TextAnalysis {
 
   /** Corpus-frequency scoring: each document's mean document-frequency over
     * its token instances — low means rare/garbled vocabulary, high means
-    * function-word soup; both tails get filtered in real pipelines. The df
-    * vocabulary is Zipf-bounded (≪ corpus size), so it joins back
-    * `broadcast()`; a document's tokens all live in one input row, so the
-    * per-doc re-aggregation combines map-side to one row per document before
-    * the only shuffle. Mean df is an exact integer rational (floor-rounded).
+    * function-word soup; both tails get filtered in real pipelines. A
+    * document's tokens all live in one input row, so the per-doc
+    * re-aggregation combines map-side to one row per document before its
+    * only shuffle. Mean df is an exact integer rational (floor-rounded).
+    *
+    * `broadcastVocab`: a curated-corpus vocabulary is Zipf-small and should
+    * broadcast (default); a raw web crawl's typo-ridden vocabulary can reach
+    * 10⁸⁻⁹ terms — pass false there to let the term join shuffle (AQE picks
+    * the strategy), trading one exchange for driver safety.
     */
-  def tokenFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenFrequency(docs: DataFrame, idCol: String, textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
     val vocab = docs.select(explode(array_distinct(rawTokens(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     docs.select(col(idCol).cast("long").as("doc_id"), explode(rawTokens(col(textCol))).as("term"))
-      .join(broadcast(vocab), Seq("term"))
+      .join(if (broadcastVocab) broadcast(vocab) else vocab, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("double").as("n"), sum(col("df")).cast("double").as("sdf"))
       .select(col("doc_id"),
