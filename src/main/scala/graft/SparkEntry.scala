@@ -335,6 +335,18 @@ object SparkEntry {
         .select(col("df")).as[Long].collect().headOption.getOrElse(0L)
       Seq((idx.fieldStats("default").docCount, dfSpark)).toDF("doc_count", "df_spark")
     }),
+    // streaming exact-dedup over id-ordered batches ≡ one-shot canonical
+    // set: a cross-batch duplicate's min id lives in the earliest batch
+    // holding that content, which is exactly the row first-seen keeps
+    "op_incremental_dedup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+      val docs = docsTable(s, d)
+      graft.streaming.IncrementalDedup.dedupBatch(
+        docs.filter(col("doc_id") < 250), 0L, dir, "doc_id", "text")
+      graft.streaming.IncrementalDedup.dedupBatch(
+        docs.filter(col("doc_id") >= 250), 1L, dir, "doc_id", "text")
+      s.read.parquet(s"$dir/digests").select(col("doc_id"), col("content_md5"))
+    }),
     // training-data pipeline: deduplication
     "op_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(docsTable(s, d), "doc_id", "text")),
     "op_minhash_sig" -> ((s, d) => graft.ops.Dedup.minhashSignatures(docsTable(s, d), "doc_id", "text")),
@@ -525,6 +537,8 @@ object SparkEntry {
     "op_index_stats" -> OpsOracle.indexStats,
     "op_maintenance" -> OpsOracle.maintenance,
     "op_incremental" -> OpsOracle.incremental,
+    "op_incremental_dedup" ->
+      "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5 FROM documents GROUP BY md5(text)",
     "op_dedup_exact" -> OpsOracle.dedupExact,
     "op_minhash_sig" -> OpsOracle.minhashSig(),
     "op_minhash_pairs" -> OpsOracle.minhashPairs(),

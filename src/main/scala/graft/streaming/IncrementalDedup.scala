@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index.SegmentStore
+
+/** Incremental (streaming) exact deduplication — the ingestion-side
+  * counterpart of [[graft.ops.Dedup.exact]]: as new document files arrive,
+  * each micro-batch is deduplicated within itself AND against the digest
+  * history of everything already accepted, and only first-seen content
+  * survives into the clean corpus. This is how a growing 100 TB training
+  * corpus stays exact-duplicate-free without ever re-scanning itself.
+  *
+  * Layout mirrors [[IncrementalIndexer]]'s generation scheme:
+  *
+  *   - `dir/digests/` — one parquet generation per committed batch of
+  *     (content_md5, doc_id) for every ACCEPTED document;
+  *   - `dir/clean/`   — the surviving rows, same generation names;
+  *   - `dir/checkpoints/dedup.json` — the `last_seq` analog; a replayed
+  *     batchId is a no-op, and a crash anywhere before the meta write
+  *     re-runs the whole batch onto the same generation names (staging +
+  *     idempotent promote, so the store never holds a duplicated
+  *     generation that would leak duplicates through the anti-join).
+  *
+  * Scale shape: the history anti-join shuffles on the 16-byte digest —
+  * batch-sized on one side, history-sized on the other, the canonical
+  * exact-dedup join; nothing is collected to the driver and no state is
+  * kept in executor memory between batches (the digest store IS the
+  * streaming state, so it survives restarts and is shared across jobs).
+  * Within-batch ties keep the smallest id, matching Dedup.exact's
+  * canonical-id rule.
+  */
+object IncrementalDedup {
+
+  final case class Meta(lastBatch: Long)
+
+  private def metaPath(dir: String) = Paths.get(s"$dir/checkpoints/dedup.json")
+
+  def readMeta(dir: String): Meta = {
+    val p = metaPath(dir)
+    if (!Files.exists(p)) Meta(-1L)
+    else {
+      val s = Files.readString(p)
+      val last = """"lastBatch":\s*(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      Meta(last)
+    }
+  }
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    Files.createDirectories(metaPath(dir).getParent)
+    Files.writeString(metaPath(dir), s"""{"lastBatch": ${m.lastBatch}}""")
+  }
+
+  /** Deduplicate one batch against itself and the accepted-digest history,
+    * then commit the survivors and their digests as generation `batchId`.
+    * Idempotent per batchId (replay = no-op); crash-safe via staging +
+    * idempotent promotion, exactly the [[IncrementalIndexer.appendBatch]]
+    * protocol.
+    */
+  def dedupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      dir: String,
+      idCol: String,
+      textCol: String): Unit = {
+    val meta = readMeta(dir)
+    if (batchId <= meta.lastBatch) return // replayed batch — already committed
+    val spark = batch.sparkSession
+
+    // crash-window replay (promoted but meta stale): this batch's OWN
+    // generation may already sit in the live dirs — drop it BEFORE reading
+    // the history, or the anti-join would see the batch's own digests and
+    // commit an empty generation in its place (caught by
+    // IncrementalDedupSpec's crash test). Promotion deletes same-gen files
+    // too, but that is after the history read — too late.
+    Seq("clean", "digests").foreach(sub => dropGeneration(s"$dir/$sub", s"gen$batchId"))
+
+    val hashed = batch.withColumn("content_md5", md5(col(textCol)))
+    // within-batch: keep the smallest id per digest (Dedup.exact's rule)
+    val canon = hashed.groupBy(col("content_md5"))
+      .agg(min(col(idCol).cast("long")).as("keep_id"))
+    val batchUnique = hashed
+      .join(canon, Seq("content_md5"))
+      .filter(col(idCol).cast("long") === col("keep_id"))
+      .drop("keep_id")
+    // against history: drop content whose digest any earlier batch accepted
+    val survivors =
+      if (hasParquet(s"$dir/digests")) {
+        val seen = spark.read.parquet(s"$dir/digests").select(col("content_md5"))
+        batchUnique.join(seen, Seq("content_md5"), "left_anti")
+      } else batchUnique
+
+    val staging = s"$dir/staging/gen-$batchId"
+    survivors.write.mode(SaveMode.Overwrite).parquet(s"$staging/clean")
+    // digests are derived from the STAGED survivors so the two generations
+    // can never disagree under a mid-write crash + replay
+    spark.read.parquet(s"$staging/clean")
+      .select(col("content_md5"), col(idCol).cast("long").as("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/digests")
+    Seq("clean", "digests").foreach { sub =>
+      IncrementalIndexer.promoteGeneration(s"$staging/$sub", s"$dir/$sub", s"gen$batchId")
+    }
+    SegmentStore.deleteRecursively(staging)
+    writeMeta(dir, Meta(batchId))
+  }
+
+  /** Delete a (possibly partially) promoted generation's files. */
+  private def dropGeneration(liveDir: String, gen: String): Unit = {
+    val live = Paths.get(liveDir)
+    if (Files.isDirectory(live))
+      scala.util.Using.resource(Files.list(live))(_.forEach { p =>
+        if (p.getFileName.toString.startsWith(s"$gen-")) Files.delete(p)
+      })
+  }
+
+  private def hasParquet(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.isDirectory(p) && scala.util.Using.resource(Files.list(p))(
+      _.anyMatch(f => f.getFileName.toString.endsWith(".parquet")))
+  }
+
+  /** The accumulated clean corpus (all committed generations). */
+  def readClean(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/clean").drop("content_md5")
+
+  /** Maintain the clean corpus over a parquet-directory stream of arriving
+    * document files: `foreachBatch` is the commit point, the digest store is
+    * the cross-batch state (no executor-memory state, restart-safe).
+    */
+  def start(
+      sourceDir: String,
+      dir: String,
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$dir/checkpoints/stream")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, dir, idCol, textCol)
+      }
+      .start()
+}

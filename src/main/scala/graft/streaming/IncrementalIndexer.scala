@@ -206,7 +206,7 @@ object IncrementalIndexer {
     * same generation (a previous partially-promoted attempt) are removed
     * first, so promotion is idempotent under replay.
     */
-  private def promoteGeneration(stagedDir: String, liveDir: String, gen: String): Unit = {
+  private[streaming] def promoteGeneration(stagedDir: String, liveDir: String, gen: String): Unit = {
     val live = Paths.get(liveDir)
     Files.createDirectories(live)
     // close the directory streams (fd leak per micro-batch otherwise —
