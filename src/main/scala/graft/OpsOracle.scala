@@ -461,6 +461,50 @@ object OpsOracle {
        |       floor(h.hits / n.n_shingles * 1000000.0 + 0.5) / 1000000.0 AS bp_ratio
        |FROM h JOIN n ON n.doc_id = h.doc_id""".stripMargin
 
+  /** The full curation composition: decontaminate (benchMod slice) →
+    * exact-dedup (min-id canonical) → quality top-k per group → split
+    * assignment — each stage the SAME SQL its standalone oracle uses,
+    * re-rooted on the previous stage's CTE.
+    */
+  def curate(benchMod: Int = 17, minHits: Int = 2, k: Int = 50,
+      fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      groupCol: String = "source", salt: String = "graft"): String = {
+    val cuts = fractions.map(_._2)
+      .scanLeft(0L)((acc, f) => acc + graft.ops.Sampling.threshold(f)).tail
+    val whens = fractions.init.zip(cuts.init).map { case ((name, _), cut) =>
+      s"WHEN bucket < $cut THEN '$name'"
+    }.mkString(" ")
+    s"""WITH ${decontamCtes(benchMod)},
+       |kept AS (SELECT d.doc_id, d.text, d.$groupCol FROM documents d
+       |         WHERE d.doc_id % $benchMod <> 0
+       |           AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE hits >= $minHits)),
+       |canon AS (SELECT md5(text) AS m, min(doc_id) AS cid FROM kept GROUP BY md5(text)),
+       |undup AS (SELECT k.doc_id, k.text, k.$groupCol FROM kept k
+       |          JOIN canon c ON md5(k.text) = c.m AND k.doc_id = c.cid),
+       |ut AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |       FROM undup),
+       |t AS (SELECT doc_id, count(*)::DOUBLE AS n,
+       |             sum(CASE WHEN term IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE AS stops,
+       |             count(DISTINCT term)::DOUBLE AS uniq
+       |      FROM ut GROUP BY doc_id),
+       |g AS (SELECT u.doc_id AS doc_id, u.$groupCol AS $groupCol,
+       |             coalesce(t.n, 0.0) AS n, coalesce(t.stops, 0.0) AS stops,
+       |             coalesce(t.uniq, 0.0) AS uniq
+       |      FROM undup u LEFT JOIN t ON t.doc_id = u.doc_id),
+       |q AS (SELECT doc_id, $groupCol,
+       |             floor((4.0 * least(n, 100.0) * greatest(n, 1.0)
+       |                    + 300.0 * (greatest(n, 1.0) - stops) + 300.0 * uniq)
+       |                   / (1000.0 * greatest(n, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+       |      FROM g),
+       |sel AS (SELECT doc_id, $groupCol, quality, rk FROM (
+       |  SELECT doc_id, $groupCol, quality,
+       |         row_number() OVER (PARTITION BY $groupCol ORDER BY quality DESC, doc_id ASC) AS rk
+       |  FROM q) WHERE rk <= $k)
+       |SELECT doc_id, $groupCol, quality, rk,
+       |       CASE $whens ELSE '${fractions.last._1}' END AS split
+       |FROM (SELECT doc_id, $groupCol, quality, rk, ${bucketExpr(salt)} AS bucket FROM sel)""".stripMargin
+  }
+
   /** Top-k per group by the composite quality score — the `quality` CTE's
     * score expression with a per-group row_number window.
     */

@@ -386,6 +386,9 @@ object SparkEntry {
       graft.ops.TextAnalysis.boilerplateRatio(docsTable(s, d), "doc_id", "text")),
     "op_repetition" -> ((s, d) =>
       graft.ops.TextAnalysis.repetition(docsTable(s, d), "doc_id", "text")),
+    // the capstone composition: decontam -> dedup -> quality top-k -> split
+    "op_curate" -> ((s, d) =>
+      graft.ops.Curate.curate(docsTable(s, d), "doc_id", "text", "source")),
     "op_tok_freq" -> ((s, d) =>
       graft.ops.TextAnalysis.tokenFrequency(docsTable(s, d), "doc_id", "text")),
     // training-data pipeline: benchmark decontamination (bench = the
@@ -566,6 +569,7 @@ object SparkEntry {
     "op_boilerplate" -> OpsOracle.boilerplate(),
     "op_boilerplate_ratio" -> OpsOracle.boilerplateRatio(),
     "op_repetition" -> OpsOracle.repetition,
+    "op_curate" -> OpsOracle.curate(),
     "op_tok_freq" -> OpsOracle.tokenFrequency,
     "op_decontam_hits" -> OpsOracle.decontamHits(),
     "op_decontam_clean" -> OpsOracle.decontamClean(),
