@@ -1,20 +1,22 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data pipeline
   * actually runs, as one operator: benchmark-decontaminate, exact-dedup,
   * select the quality top-k per group, and assign train/val/test splits.
-  * Nothing here is new machinery; it is [[Decontam]], [[Dedup.exact]],
-  * [[Sampling.topKPerGroup]], and [[Sampling.splitAssign]] chained on their
-  * public contracts — the point (and what the gate proves) is that the
-  * stages COMPOSE with both engines still agreeing bit-for-bit.
+  * Nothing here is new semantics; it is [[Decontam]]'s hit rule,
+  * [[Dedup.exact]]'s min-id-canonical rule, [[Sampling.topKPerGroup]], and
+  * [[Sampling.splitAssign]] chained — the point (and what the gate proves)
+  * is that the stages COMPOSE with both engines still agreeing bit-for-bit.
   *
-  * Scale shape is the union of its parts: one broadcast join against the
-  * benchmark shingle set, one content-digest shuffle for dedup, one
-  * group-key shuffle for selection, and a map-only split assignment over
-  * the k·|groups|-bounded selection.
+  * Scale shape: one broadcast join against the benchmark shingle set plus a
+  * broadcast anti-join of the (blast-radius-bounded) contaminated ids, one
+  * content-digest window exchange for dedup, one group-key shuffle for
+  * selection, and a map-only split assignment over the k·|groups|-bounded
+  * selection. The corpus is never joined against a corpus-sized side.
   */
 object Curate {
 
@@ -37,12 +39,21 @@ object Curate {
       col(textCol).as("text"), col(groupCol))
     val corpus = norm.filter(col("doc_id") % benchMod =!= 0)
     val bench = norm.filter(col("doc_id") % benchMod === 0)
-    val survivors = Decontam.decontaminate(
-      corpus, "doc_id", "text", bench, "doc_id", "text", minHits = minHits)
-    val kept = corpus.join(survivors, Seq("doc_id"))
-    val canonical = Dedup.exact(kept, "doc_id", "text")
-      .filter(!col("is_dup")).select(col("doc_id"))
-    val undup = kept.join(canonical, Seq("doc_id"))
+    // the CONTAMINATED id set is bounded by the benchmark's blast radius —
+    // broadcast anti-join it away (joining the corpus-sized SURVIVOR set
+    // back instead would be a corpus x corpus shuffle)
+    val bad = Decontam.contaminationHits(
+        corpus, "doc_id", "text", bench, "doc_id", "text", minHits = minHits)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val kept = corpus.join(broadcast(bad), Seq("doc_id"), "left_anti")
+    // exact dedup, [[Dedup.exact]]'s min-id-canonical rule, re-expressed as
+    // ONE content-digest window exchange (groupBy + join-back would shuffle
+    // the corpus twice); a degenerate duplicate mega-cluster sorts in one
+    // task — the same documented O(cluster log cluster) caveat as every
+    // bucket window in graft.ops
+    val undup = kept.withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
     val sel = Sampling.topKPerGroup(undup, "doc_id", "text", groupCol, k)
     val split = Sampling.splitAssign(sel.select(col("doc_id")), "doc_id", fractions, salt)
     sel.join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
