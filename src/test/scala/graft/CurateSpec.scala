@@ -36,4 +36,11 @@ class CurateSpec extends SparkSpec {
     val splits = out.select(col("split")).distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
+
+  test("the contaminated-id anti-join is broadcast (corpus never joins a corpus-sized side)") {
+    val plan = Curate.curate(docs, "doc_id", "text", "source", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), plan.take(4000))
+  }
 }
