@@ -63,6 +63,14 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("pack assignment is identical under different input partitioning") {
+    val rows = (0L until 300L).map(i => (i, "t " * (1 + (i % 7).toInt)))
+    def run(parts: Int) =
+      Chunking.pack(docs(rows: _*).repartition(parts), "doc_id", "text", budget = 40L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    assert(run(3) == run(17))
+  }
+
   test("pack shuffles once, on the bucket key") {
     val d = docs((0L until 10L).map(i => (i, "x y z")): _*)
     val plan = Chunking.pack(d, "doc_id", "text").queryExecution.executedPlan.toString
