@@ -350,20 +350,28 @@ object OpsOracle {
        |) WHERE bucket < thr""".stripMargin
   }
 
-  /** Train/val/test split by cumulative bucket cuts — thresholds come from
-    * the SAME `Sampling.threshold` scan as the Spark side, so the two
-    * engines can never disagree on a boundary.
+  /** The split-label SQL for a `bucket` column — one builder shared by the
+    * split and curate oracles (the Spark twin is `Sampling.splitLabel`).
+    * Thresholds come from the SAME `Sampling.threshold` as the Spark side,
+    * so the two engines can never disagree on a boundary; a single-label
+    * fraction list degenerates to the bare literal (SQL rejects a CASE with
+    * zero WHEN branches).
     */
-  def splitAssign(fractions: Seq[(String, Double)], salt: String = "graft"): String = {
+  private def splitCase(fractions: Seq[(String, Double)]): String = {
     val cuts = fractions.map(_._2)
       .scanLeft(0L)((acc, f) => acc + graft.ops.Sampling.threshold(f)).tail
     val whens = fractions.init.zip(cuts.init).map { case ((name, _), cut) =>
       s"WHEN bucket < $cut THEN '$name'"
-    }.mkString(" ")
-    s"""SELECT doc_id, bucket,
-       |       CASE $whens ELSE '${fractions.last._1}' END AS split
-       |FROM (SELECT doc_id, ${bucketExpr(salt)} AS bucket FROM documents)""".stripMargin
+    }
+    if (whens.isEmpty) s"'${fractions.last._1}'"
+    else s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"
   }
+
+  /** Train/val/test split by cumulative bucket cuts. */
+  def splitAssign(fractions: Seq[(String, Double)], salt: String = "graft"): String =
+    s"""SELECT doc_id, bucket,
+       |       ${splitCase(fractions)} AS split
+       |FROM (SELECT doc_id, ${bucketExpr(salt)} AS bucket FROM documents)""".stripMargin
 
   /** Distinct shingle hashes per doc + the benchmark/corpus slice split
     * shared by both decontamination oracles.
@@ -469,11 +477,6 @@ object OpsOracle {
   def curate(benchMod: Int = 17, minHits: Int = 2, k: Int = 50,
       fractions: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       groupCol: String = "source", salt: String = "graft"): String = {
-    val cuts = fractions.map(_._2)
-      .scanLeft(0L)((acc, f) => acc + graft.ops.Sampling.threshold(f)).tail
-    val whens = fractions.init.zip(cuts.init).map { case ((name, _), cut) =>
-      s"WHEN bucket < $cut THEN '$name'"
-    }.mkString(" ")
     s"""WITH ${decontamCtes(benchMod)},
        |kept AS (SELECT d.doc_id, d.text, d.$groupCol FROM documents d
        |         WHERE d.doc_id % $benchMod <> 0
@@ -501,7 +504,7 @@ object OpsOracle {
        |         row_number() OVER (PARTITION BY $groupCol ORDER BY quality DESC, doc_id ASC) AS rk
        |  FROM q) WHERE rk <= $k)
        |SELECT doc_id, $groupCol, quality, rk,
-       |       CASE $whens ELSE '${fractions.last._1}' END AS split
+       |       ${splitCase(fractions)} AS split
        |FROM (SELECT doc_id, $groupCol, quality, rk, ${bucketExpr(salt)} AS bucket FROM sel)""".stripMargin
   }
 

@@ -491,7 +491,7 @@ object SegmentStore {
     // exact fold: Σdl travels as a long per generation, so the merged avgdl
     // is one division over exact integer sums — no docCount·avgdl FP
     // round-trip that could drift after many appended generations
-    val mergedField = spark.read.parquet(s"$dir/fieldstats")
+    val mergedField = readFieldStats(spark, s"$dir/fieldstats")
       .groupBy($"field")
       .agg(sum($"docCount").as("docCount"),
         (sum($"sumDl") / sum($"docCount")).as("avgdl"),
@@ -691,12 +691,29 @@ object SegmentStore {
       s"analyzer $other has no persistable name — add it to SegmentStore.analyzerName/Analyzers.byName")
   }
 
+  /** Read a fieldstats dir tolerantly: generations written before `sumDl`
+    * entered the schema (round 5) lack the column — reconstruct their Σdl
+    * per ROW as round(docCount·avgdl), the exact inverse of how that
+    * generation's avgdl was computed. Without this, open() crashes on a
+    * pre-upgrade store, and worse, openMerged on a MIXED store (old + new
+    * generations under mergeSchema) would sum nulls as zero and fold a
+    * silently deflated avgdl into BM25.
+    */
+  private def readFieldStats(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    val sumCol =
+      if (raw.columns.contains("sumDl"))
+        coalesce(col("sumDl"), round(col("docCount") * col("avgdl")).cast("long"))
+      else round(col("docCount") * col("avgdl")).cast("long")
+    raw.select(col("field"), col("docCount"), col("avgdl"), sumCol.as("sumDl"))
+  }
+
   def open(spark: SparkSession, dir: String): SegmentIndex = {
     import spark.implicits._
     // boost entered the spec in round 2 — a round-1 (4-column) dir still
     // opens, defaulting boost to 1.0 (ADVICE r2: no opaque encoder error)
     val fields = open0Fields(spark, dir)
-    val fieldStats = spark.read.parquet(s"$dir/fieldstats").as[FieldStats]
+    val fieldStats = readFieldStats(spark, s"$dir/fieldstats").as[FieldStats]
       .collect().map(fs => fs.field -> fs).toMap
     val stored =
       if (Files.exists(Paths.get(s"$dir/stored"))) Some(spark.read.parquet(s"$dir/stored"))

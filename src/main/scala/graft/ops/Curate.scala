@@ -55,7 +55,9 @@ object Curate {
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
     val sel = Sampling.topKPerGroup(undup, "doc_id", "text", groupCol, k)
-    val split = Sampling.splitAssign(sel.select(col("doc_id")), "doc_id", fractions, salt)
-    sel.join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+    // split is a pure function of (doc_id, salt) — a withColumn, not a
+    // self-join back through the whole curation lineage
+    sel.withColumn("split",
+      Sampling.splitLabel(Sampling.hashBucket(col("doc_id"), salt), fractions))
   }
 }

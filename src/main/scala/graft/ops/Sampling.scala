@@ -70,21 +70,26 @@ object Sampling {
     * `fractions` are (label, fraction) in order; the LAST label absorbs any
     * rounding remainder so the labels partition the bucket space exactly.
     */
+  /** The split label for a bucket column under `fractions`' cumulative
+    * cuts — ONE kernel shared by [[splitAssign]] and [[Curate]] so the
+    * label rule can never diverge between the standalone and composed ops.
+    */
+  def splitLabel(bucket: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "split needs at least one label")
+    val cuts = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + threshold(f)).tail
+    fractions.init.zip(cuts.init).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+  }
+
   def splitAssign(
       docs: DataFrame,
       idCol: String,
       fractions: Seq[(String, Double)],
-      salt: String = "graft"): DataFrame = {
-    require(fractions.nonEmpty, "splitAssign needs at least one label")
-    val cuts = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + threshold(f)).tail
-    val bucket = col("bucket")
-    val label = fractions.init.zip(cuts.init).foldRight(lit(fractions.last._1): Column) {
-      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
-    }
+      salt: String = "graft"): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         hashBucket(col(idCol).cast("long"), salt).as("bucket"))
-      .withColumn("split", label)
-  }
+      .withColumn("split", splitLabel(col("bucket"), fractions))
 
   /** Quality-based selection: the top `k` documents per group by the
     * composite quality score ([[TextAnalysis.qualityCol]] — identical

@@ -80,13 +80,16 @@ object IncrementalDedup {
     Seq("clean", "digests").foreach(sub => dropGeneration(s"$dir/$sub", s"gen$batchId"))
 
     val hashed = batch.withColumn("content_md5", md5(col(textCol)))
-    // within-batch: keep the smallest id per digest (Dedup.exact's rule)
-    val canon = hashed.groupBy(col("content_md5"))
-      .agg(min(col(idCol).cast("long")).as("keep_id"))
+    // within-batch: ONE surviving row per digest, smallest id first
+    // (Dedup.exact's canonical rule) — row_number, not groupBy + join-back:
+    // one shuffle instead of two, and literal duplicate ROWS (same id, same
+    // text, e.g. a source file delivered twice into one micro-batch) can't
+    // both pass an `id === keep_id` filter
     val batchUnique = hashed
-      .join(canon, Seq("content_md5"))
-      .filter(col(idCol).cast("long") === col("keep_id"))
-      .drop("keep_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_md5")).orderBy(col(idCol).cast("long"))))
+      .filter(col("rn") === 1).drop("rn")
     // against history: drop content whose digest any earlier batch accepted
     val survivors =
       if (hasParquet(s"$dir/digests")) {

@@ -9,16 +9,11 @@ import graft.ops.{Chunking, TextAnalysis}
   */
 class ChunkingSpec extends SparkSpec {
 
-  private def docs(rows: (Long, String)*) = {
-    import spark.implicits._
-    rows.toDF("doc_id", "text")
-  }
-
   // ---- chunk ---------------------------------------------------------------
 
   test("chunk windows cover every token with the stride overlap") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
-    val out = Chunking.chunk(docs((1L, text)), "doc_id", "text", chunkSize = 4, stride = 3)
+    val out = Chunking.chunk(docsFixture((1L, text)), "doc_id", "text", chunkSize = 4, stride = 3)
       .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._1)
     // starts 0,3,6,9 → windows [1..4],[4..7],[7..10],[10]
     assert(out.toSeq == Seq(
@@ -29,13 +24,13 @@ class ChunkingSpec extends SparkSpec {
   }
 
   test("chunk of a doc shorter than one window is the doc itself") {
-    val out = Chunking.chunk(docs((1L, "a b")), "doc_id", "text", chunkSize = 8, stride = 8)
+    val out = Chunking.chunk(docsFixture((1L, "a b")), "doc_id", "text", chunkSize = 8, stride = 8)
       .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
     assert(out.toSeq == Seq((0L, "a b", 2L)))
   }
 
   test("chunk is a narrow map: no exchange") {
-    val plan = Chunking.chunk(docs((1L, "a b c")), "doc_id", "text")
+    val plan = Chunking.chunk(docsFixture((1L, "a b c")), "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
@@ -44,7 +39,7 @@ class ChunkingSpec extends SparkSpec {
 
   test("pack fills each bucket's packs to the budget in doc_id order") {
     // one bucket so the cumulative order is fully known
-    val d = docs((0L until 20L).map(i => (i, "tok " * 10)): _*) // 10 tokens each
+    val d = docsFixture((0L until 20L).map(i => (i, "tok " * 10)): _*) // 10 tokens each
     val out = Chunking.pack(d, "doc_id", "text", budget = 25L, numBuckets = 1)
       .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
     // cum before doc i = 10*i → pack = floor(10*i/25): docs 0-2 pack0, 3-4 pack1, ...
@@ -52,7 +47,7 @@ class ChunkingSpec extends SparkSpec {
   }
 
   test("pack never splits a doc and packs exceed the budget by at most one doc") {
-    val d = docs((0L until 200L).map(i => (i, "x " * (1 + (i % 13).toInt))): _*)
+    val d = docsFixture((0L until 200L).map(i => (i, "x " * (1 + (i % 13).toInt))): _*)
     val rows = Chunking.pack(d, "doc_id", "text", budget = 30L, numBuckets = 4)
       .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(2)))
     assert(rows.length == 200)
@@ -66,13 +61,13 @@ class ChunkingSpec extends SparkSpec {
   test("pack assignment is identical under different input partitioning") {
     val rows = (0L until 300L).map(i => (i, "t " * (1 + (i % 7).toInt)))
     def run(parts: Int) =
-      Chunking.pack(docs(rows: _*).repartition(parts), "doc_id", "text", budget = 40L)
+      Chunking.pack(docsFixture(rows: _*).repartition(parts), "doc_id", "text", budget = 40L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
     assert(run(3) == run(17))
   }
 
   test("pack shuffles once, on the bucket key") {
-    val d = docs((0L until 10L).map(i => (i, "x y z")): _*)
+    val d = docsFixture((0L until 10L).map(i => (i, "x y z")): _*)
     val plan = Chunking.pack(d, "doc_id", "text").queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
     assert(plan.contains("hashpartitioning(bucket"), plan.take(3000))
@@ -81,7 +76,7 @@ class ChunkingSpec extends SparkSpec {
   // ---- boilerplate -----------------------------------------------------------
 
   private val template = "this product is great buy now"
-  private def corpusWithBoilerplate = docs(
+  private def corpusWithBoilerplate = docsFixture(
     (1L, s"review one $template"),
     (2L, s"review two $template"),
     (3L, s"review three $template"),
@@ -96,7 +91,7 @@ class ChunkingSpec extends SparkSpec {
   }
 
   test("repetition scores looping documents; non-repeating docs score 0") {
-    val out = TextAnalysis.repetition(docs(
+    val out = TextAnalysis.repetition(docsFixture(
         (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct -> 4/7
         (2L, "one two three four"), // 2 shingles, both distinct -> 0
         (3L, "a b")), // < w tokens -> absent
@@ -108,14 +103,14 @@ class ChunkingSpec extends SparkSpec {
   }
 
   test("repetition is a narrow map: no exchange") {
-    val plan = TextAnalysis.repetition(docs((1L, "a b c d")), "doc_id", "text")
+    val plan = TextAnalysis.repetition(docsFixture((1L, "a b c d")), "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
   test("tokenFrequency averages corpus df over token instances, broadcast vocab") {
     // df: a->2 docs, b->2, c->1, d->1
-    val df = TextAnalysis.tokenFrequency(docs((1L, "a b a"), (2L, "a b c d")), "doc_id", "text")
+    val df = TextAnalysis.tokenFrequency(docsFixture((1L, "a b a"), (2L, "a b c d")), "doc_id", "text")
     val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out(1L) == 2.0)               // (2+2+2)/3
     assert(out(2L) == 1.5)               // (2+2+1+1)/4

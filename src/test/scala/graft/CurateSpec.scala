@@ -30,7 +30,12 @@ class CurateSpec extends SparkSpec {
         docs.filter(col("doc_id") % 17 === 0), "doc_id", "text")
       .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
     assert(ids.intersect(contaminated).isEmpty, "contaminated doc leaked through")
-    val dups = Dedup.exact(docs, "doc_id", "text")
+    // dedup runs AFTER decontamination, so the canonical reference set is
+    // exact-dedup over the KEPT subset (a cluster whose min id sits in the
+    // benchmark slice or is contaminated legitimately keeps its next id)
+    val kept = docs.filter(col("doc_id") % 17 =!= 0)
+      .filter(!col("doc_id").isInCollection(contaminated.toSeq :+ -1L))
+    val dups = Dedup.exact(kept, "doc_id", "text")
       .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
     assert(ids.intersect(dups).isEmpty, "non-canonical duplicate leaked through")
     val splits = out.select(col("split")).distinct().collect().map(_.getString(0)).toSet

@@ -10,15 +10,10 @@ import graft.ops.{Decontam, Sampling}
   */
 class DecontamSpec extends SparkSpec {
 
-  private def docs(rows: (Long, String)*) = {
-    import spark.implicits._
-    rows.toDF("doc_id", "text")
-  }
-
   // ---- splitAssign -------------------------------------------------------
 
   test("splitAssign labels every row, consistent with its bucket cuts") {
-    val d = docs((0L until 200L).map(i => (i, s"doc $i")): _*)
+    val d = docsFixture((0L until 200L).map(i => (i, s"doc $i")): _*)
     val out = Sampling.splitAssign(d, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(out.length == 200)
@@ -32,17 +27,17 @@ class DecontamSpec extends SparkSpec {
   }
 
   test("splitAssign is stable under corpus growth: a row's split never moves") {
-    val small = Sampling.splitAssign(docs((0L until 50L).map(i => (i, "x")): _*),
+    val small = Sampling.splitAssign(docsFixture((0L until 50L).map(i => (i, "x")): _*),
       "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    val big = Sampling.splitAssign(docs((0L until 500L).map(i => (i, "x")): _*),
+    val big = Sampling.splitAssign(docsFixture((0L until 500L).map(i => (i, "x")): _*),
       "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     small.foreach { case (id, s) => assert(big(id) == s, s"doc $id moved splits") }
   }
 
   test("splitAssign is a narrow map: no exchange") {
-    val d = docs((0L until 10L).map(i => (i, "x")): _*)
+    val d = docsFixture((0L until 10L).map(i => (i, "x")): _*)
     val plan = Sampling.splitAssign(d, "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
@@ -51,10 +46,10 @@ class DecontamSpec extends SparkSpec {
   // ---- decontamination ---------------------------------------------------
 
   private val benchText = "alpha beta gamma delta epsilon"
-  private val bench = () => docs((1000L, benchText))
+  private val bench = () => docsFixture((1000L, benchText))
   // doc 1: exact benchmark copy (3 shared shingles); doc 2: shares exactly
   // one 3-gram; doc 3: disjoint vocabulary
-  private val corpus = () => docs(
+  private val corpus = () => docsFixture(
     (1L, benchText),
     (2L, "zulu alpha beta gamma yankee"),
     (3L, "one two three four five"))
@@ -79,7 +74,7 @@ class DecontamSpec extends SparkSpec {
   }
 
   test("duplicate shingles in one doc count once") {
-    val rep = docs((7L, s"$benchText $benchText"))
+    val rep = docsFixture((7L, s"$benchText $benchText"))
     val hits = Decontam.contaminationHits(rep, "doc_id", "text",
         bench(), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

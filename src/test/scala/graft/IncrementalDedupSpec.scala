@@ -13,16 +13,11 @@ import graft.streaming.IncrementalDedup
   */
 class IncrementalDedupSpec extends SparkSpec {
 
-  private def docs(rows: (Long, String)*) = {
-    import spark.implicits._
-    rows.toDF("doc_id", "text")
-  }
-
   test("batches dedup within themselves and against the accepted history") {
     val dir = Files.createTempDirectory("graft-incdedup").toString
-    IncrementalDedup.dedupBatch(docs(
+    IncrementalDedup.dedupBatch(docsFixture(
       (1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta")), 0L, dir, "doc_id", "text")
-    IncrementalDedup.dedupBatch(docs(
+    IncrementalDedup.dedupBatch(docsFixture(
       (4L, "gamma delta"), (5L, "epsilon zeta"), (6L, "epsilon zeta")), 1L, dir, "doc_id", "text")
 
     val clean = IncrementalDedup.readClean(spark, dir)
@@ -32,29 +27,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(clean.toSeq == Seq((1L, "alpha beta"), (2L, "gamma delta"), (5L, "epsilon zeta")))
 
     // the surviving content set equals one-shot exact dedup over everything
-    val all = docs((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"),
+    val all = docsFixture((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"),
       (4L, "gamma delta"), (5L, "epsilon zeta"), (6L, "epsilon zeta"))
     val oneShot = Dedup.exact(all, "doc_id", "text")
       .filter(!col("is_dup")).count()
     assert(clean.length.toLong == oneShot)
   }
 
+  test("literal duplicate rows (same id, same text) in one batch leave one survivor") {
+    val dir = Files.createTempDirectory("graft-incdedup-rows").toString
+    // a source file delivered twice into the same micro-batch
+    val twice = docsFixture((1L, "alpha beta"), (2L, "gamma delta"))
+      .union(docsFixture((1L, "alpha beta"), (2L, "gamma delta")))
+    IncrementalDedup.dedupBatch(twice, 0L, dir, "doc_id", "text")
+    val clean = IncrementalDedup.readClean(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq == Seq(1L, 2L))
+  }
+
   test("a replayed batch is a no-op: no duplicate generation, meta unchanged") {
     val dir = Files.createTempDirectory("graft-incdedup-replay").toString
-    IncrementalDedup.dedupBatch(docs((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
+    IncrementalDedup.dedupBatch(docsFixture((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
     val meta = IncrementalDedup.readMeta(dir)
-    IncrementalDedup.dedupBatch(docs((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
+    IncrementalDedup.dedupBatch(docsFixture((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
     assert(IncrementalDedup.readMeta(dir) == meta)
     assert(IncrementalDedup.readClean(spark, dir).count() == 2L)
   }
 
   test("crash before the meta write: replay overwrites the same generation, never duplicates") {
     val dir = Files.createTempDirectory("graft-incdedup-crash").toString
-    IncrementalDedup.dedupBatch(docs((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
+    IncrementalDedup.dedupBatch(docsFixture((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
     // simulate the crash window: generation promoted but meta stale
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/checkpoints/dedup.json"), """{"lastBatch": -1}""")
-    IncrementalDedup.dedupBatch(docs((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
+    IncrementalDedup.dedupBatch(docsFixture((1L, "a"), (2L, "b")), 0L, dir, "doc_id", "text")
     assert(IncrementalDedup.readClean(spark, dir).count() == 2L)
     assert(IncrementalDedup.readMeta(dir).lastBatch == 0L)
   }
@@ -62,13 +68,13 @@ class IncrementalDedupSpec extends SparkSpec {
   test("Structured Streaming foreachBatch maintains the clean corpus over arriving files") {
     val src = Files.createTempDirectory("graft-incdedup-src").toString
     val dir = Files.createTempDirectory("graft-incdedup-stream").toString
-    docs((1L, "one two"), (2L, "three four"))
+    docsFixture((1L, "one two"), (2L, "three four"))
       .write.mode(SaveMode.Append).parquet(src)
     val schema = spark.read.parquet(src).schema
     val q = IncrementalDedup.start(src, dir, spark, schema, "doc_id", "text")
     try {
       q.processAllAvailable()
-      docs((3L, "one two"), (4L, "five six"))
+      docsFixture((3L, "one two"), (4L, "five six"))
         .write.mode(SaveMode.Append).parquet(src)
       q.processAllAvailable()
     } finally q.stop()

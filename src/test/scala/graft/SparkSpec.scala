@@ -6,6 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for specs — one per suite (lazy). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** (doc_id, text) fixture frame — shared by the ops/pipeline specs. */
+  def docsFixture(rows: (Long, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
 }
 
 object SparkSpec {

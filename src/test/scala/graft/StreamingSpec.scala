@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pre-sumDl fieldstats generations still open and fold exactly (round-5 schema compat)") {
+    val dir = Files.createTempDirectory("graft-legacy-fs").toString
+    IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    // rewrite generation 0's fieldstats WITHOUT sumDl — a store written
+    // before the column entered the schema
+    val legacy = spark.read.parquet(s"$dir/fieldstats").drop("sumDl").collect()
+    val legacySchema = spark.read.parquet(s"$dir/fieldstats").drop("sumDl").schema
+    SegmentStore.deleteRecursively(s"$dir/fieldstats")
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*), legacySchema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
+    // a post-upgrade generation lands next to it (mixed-schema store)
+    IncrementalIndexer.appendBatch(turnsDF(40, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
+    val merged = SegmentStore.openMerged(spark, dir)
+    merged.fieldStats.foreach { case (f, fs) =>
+      val ref = batchIndex.fieldStats(f)
+      assert(fs.docCount == ref.docCount, s"docCount differs for $f")
+      assert(math.abs(fs.avgdl - ref.avgdl) < 1e-9, s"avgdl differs for $f: ${fs.avgdl} vs ${ref.avgdl}")
+    }
+  }
+
   test("a later batch passing a different docsPerShard cannot re-shard the index (round 5)") {
     val dir = Files.createTempDirectory("graft-dps-pin").toString
     IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
