@@ -447,6 +447,30 @@ object OpsOracle {
        |FROM tok JOIN vocab USING (term)
        |GROUP BY tok.doc_id""".stripMargin
 
+  /** Chunk-then-pack: the chunk CTE's (doc_id, chunk_id, n_tokens) rows,
+    * bucket-hashed on "doc:chunk:salt", cumsummed per bucket in the unique
+    * (doc_id, chunk_id) order — mirrors Chunking.chunkPack.
+    */
+  def chunkPack(chunkSize: Int = 32, stride: Int = 32, budget: Long = 2048L,
+      numBuckets: Int = 32, salt: String = "graft"): String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), $stride)) AS start
+       |      FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, (start // $stride)::BIGINT AS chunk_id,
+       |             least($chunkSize, len(toks) - start)::BIGINT AS n_tokens
+       |      FROM s),
+       |b AS (SELECT doc_id, chunk_id, n_tokens,
+       |             ${h64(s"doc_id::VARCHAR || ':' || chunk_id::VARCHAR || ':$salt'")}
+       |               % $numBuckets AS bucket
+       |      FROM c),
+       |w AS (SELECT doc_id, chunk_id, n_tokens, bucket,
+       |             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id) AS cum
+       |      FROM b)
+       |SELECT doc_id, chunk_id, n_tokens, bucket,
+       |       floor((cum - n_tokens) / ${budget}.0)::BIGINT AS pack_id
+       |FROM w""".stripMargin
+
   /** Distinct (doc, shingle) pairs + the corpus-global top-k boilerplate
     * shingle set shared by both boilerplate oracles.
     */

@@ -380,6 +380,8 @@ object SparkEntry {
     // training-data pipeline: sequence shaping + boilerplate analysis
     "op_chunk" -> ((s, d) => graft.ops.Chunking.chunk(docsTable(s, d), "doc_id", "text")),
     "op_pack" -> ((s, d) => graft.ops.Chunking.pack(docsTable(s, d), "doc_id", "text")),
+    "op_chunk_pack" -> ((s, d) =>
+      graft.ops.Chunking.chunkPack(docsTable(s, d), "doc_id", "text")),
     "op_boilerplate" -> ((s, d) =>
       graft.ops.TextAnalysis.boilerplate(docsTable(s, d), "doc_id", "text")),
     "op_boilerplate_ratio" -> ((s, d) =>
@@ -566,6 +568,7 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "op_chunk" -> OpsOracle.chunk(),
     "op_pack" -> OpsOracle.pack(),
+    "op_chunk_pack" -> OpsOracle.chunkPack(),
     "op_boilerplate" -> OpsOracle.boilerplate(),
     "op_boilerplate_ratio" -> OpsOracle.boilerplateRatio(),
     "op_repetition" -> OpsOracle.repetition,

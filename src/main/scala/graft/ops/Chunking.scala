@@ -80,4 +80,35 @@ object Chunking {
       floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble))
         .cast("long"))
   }
+
+  /** [[chunk]] then [[pack]] — the composition that handles oversize
+    * documents: a document longer than the budget is first split into
+    * ≤ chunkSize-token windows (stride = chunkSize by default: training
+    * packs should not duplicate tokens), then the CHUNKS are packed, so a
+    * pack can overflow the budget by at most chunkSize − 1 tokens instead
+    * of by a whole document. Same scale shape as its parts: one narrow map
+    * for chunking, one bucket-key shuffle for packing; pack ordering within
+    * a bucket is the unique (doc_id, chunk_id). Emits
+    * (doc_id, chunk_id, n_tokens, bucket, pack_id).
+    */
+  def chunkPack(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 32,
+      stride: Int = 32,
+      budget: Long = 2048L,
+      numBuckets: Int = 32,
+      salt: String = "graft"): DataFrame = {
+    require(chunkSize <= budget, s"chunkSize $chunkSize must fit the budget $budget")
+    val ch = chunk(docs, idCol, textCol, chunkSize, stride)
+    val key = concat(col("doc_id").cast("string"), lit(":"),
+      col("chunk_id").cast("string"), lit(":" + salt))
+    val base = ch.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+      pmod(Dedup.hash64(key), lit(numBuckets.toLong)).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"), col("chunk_id"))
+    base.withColumn("pack_id",
+      floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble))
+        .cast("long"))
+  }
 }

@@ -66,6 +66,20 @@ class ChunkingSpec extends SparkSpec {
     assert(run(3) == run(17))
   }
 
+  test("chunkPack bounds every pack by budget + chunkSize - 1 (oversize docs split first)") {
+    // docs of up to 90 tokens against a 20-token budget: plain pack would
+    // overflow a pack by a whole 90-token doc; chunkPack cannot
+    val d = docsFixture((0L until 60L).map(i => (i, "w " * (5 + (i % 6) * 17).toInt)): _*)
+    val rows = Chunking.chunkPack(d, "doc_id", "text", chunkSize = 10, stride = 10, budget = 20L)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(2)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((b, p), g) =>
+      val tot = g.map(_._3).sum
+      assert(tot <= 20L + 9L, s"bucket $b pack $p holds $tot tokens")
+    }
+    // every chunk is present exactly once
+    assert(rows.map(_._3).sum == (0L until 60L).map(i => 5 + (i % 6) * 17).sum)
+  }
+
   test("pack shuffles once, on the bucket key") {
     val d = docsFixture((0L until 10L).map(i => (i, "x y z")): _*)
     val plan = Chunking.pack(d, "doc_id", "text").queryExecution.executedPlan.toString
