@@ -203,21 +203,6 @@ object IndexBuilder {
       .as[TermStats]
   }
 
-  /** Field stats derived from postings (dl is denormalized into every
-    * posting) — avoids a second scan+tokenize of the corpus, which is the
-    * dominant cost at scale; sees exactly the docs with ≥1 indexed token.
-    */
-  def fieldStatsFromPostings(postings: Dataset[Posting]): DataFrame = {
-    val spark = postings.sparkSession
-    import spark.implicits._
-    postings
-      .groupBy($"field", $"docId")
-      .agg(first($"dl").as("dl"))
-      .groupBy($"field")
-      .agg(count(lit(1)).as("docCount"), avg($"dl").as("avgdl"),
-        sum($"dl").cast("long").as("sumDl"))
-  }
-
   /** Build the full index over `docs`. `docs` must already carry a stable
     * Long doc id (use [[DocIds.assign]] when the source has none).
     *

@@ -547,7 +547,24 @@ object SegmentStore {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stored")
       commitStage(outDir, "stored", Map.empty)
     }
-    encodeSegments(postings, dps, reconstructMarkers = true)
+    // marker strategy mirrors build's, keyed on the SAME pinned shard spec.
+    // Marker segment rows are stats-only (no blocks) in EVERY index, so the
+    // decode above never recovers marker postings; for dps <= Int.MaxValue
+    // the encode tasks reconstruct them (bitset path), and for a wider
+    // shard spec — where reconstruction's local-offset bitset can't exist
+    // and hardcoding reconstructMarkers = true crashed every optimize on
+    // encodeSegments' require — the (field, doc, dl) markers are
+    // re-synthesized from the decoded postings (dl rides every posting;
+    // distinct is the same shape tokenizePostingsWithMarkers ships at build)
+    val recon = dps <= Int.MaxValue
+    val encodable =
+      if (recon) postings
+      else postings.unionByName(
+        postings.select(col("field"), col("docId"), col("dl")).distinct()
+          .select(col("field"), lit(IndexBuilder.DlMarker).as("term"), col("docId"),
+            col("dl").as("tf"), lit(Array.empty[Int]).as("positions"), col("dl"))
+          .as[Posting])
+    encodeSegments(encodable, dps, reconstructMarkers = recon)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments")
     commitStage(outDir, "segments", Map.empty)
     val seg = spark.read.parquet(s"$outDir/segments")

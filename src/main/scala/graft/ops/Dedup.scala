@@ -103,6 +103,10 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 4,
       maxNeighbors: Int = 16): DataFrame = {
+    // loud, not silent: numHashes < rowsPerBand would explode zero band
+    // keys and report an empty (= "no duplicates") result
+    require(numHashes >= rowsPerBand && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val sig = minhashSignatures(docs, idCol, textCol, numHashes)
     // one row per (doc, band) via explode over the ALREADY-COMPUTED signature
     // row — the previous per-band union duplicated the whole signature
@@ -137,7 +141,12 @@ object Dedup {
       .join(sets, Seq("doc_id"))
       .groupBy(col("a"), col("b"))
       .agg(min_by(col("sh"), col("doc_id")).as("sha"),
-        max_by(col("sh"), col("doc_id")).as("shb"))
+        max_by(col("sh"), col("doc_id")).as("shb"),
+        count(lit(1)).as("sides"))
+      // a pair whose id is absent from `sets` must DROP, not degenerate to
+      // min_by == max_by (which would fabricate jaccard = 1.0); can't happen
+      // via lshCandidates, but this method's contract is any candidate frame
+      .filter(col("sides") === 2).drop("sides")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("double"))
       .withColumn("jaccard", floor(col("inter") / col("uni") * 1000000.0 + 0.5) / 1000000.0)

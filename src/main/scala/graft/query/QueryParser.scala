@@ -264,10 +264,15 @@ final class QueryParser(
             // re-insert `\` before ESCAPED '*'/'?' so the shared wildcard
             // compiler (QueryBind.wildcardRegex) keeps them literal — the
             // Word.escaped set doesn't survive past this boundary, and
-            // `fi\?le*x` must not match "fiXle…" at position 2
+            // `fi\?le*x` must not match "fiXle…" at position 2. A literal
+            // backslash in the term must be re-escaped too: bare, it would
+            // pair with the NEXT char in wildcardRegex (dropping itself and,
+            // after `a\\\*b`, re-activating an escaped wildcard)
             val pat = raw.indices.map { ix =>
               val c = raw.charAt(ix)
-              if ((c == '*' || c == '?') && w.escaped(ix)) s"\\$c" else c.toString
+              if ((c == '*' || c == '?') && w.escaped(ix)) s"\\$c"
+              else if (c == '\\') "\\\\"
+              else c.toString
             }.mkString
             WildcardQ(field, pat)
           }

@@ -210,6 +210,23 @@ class QueryParserSpec extends AnyFunSuite {
     assert("a*bZZc".matches(re2) && !"aXbZZc".matches(re2))
   }
 
+  test("literal backslashes survive into a wildcard pattern (re-escaped)") {
+    // `file\\na?me`: raw term is `file\na?me` with a LITERAL backslash and a
+    // real '?' wildcard — the pattern must re-escape the backslash or the
+    // regex compiler pairs it with 'n' and drops it
+    assert(p("file\\\\na?me") === WildcardQ("default", "file\\\\na?me"))
+    val re = QueryBind.wildcardRegex("file\\\\na?me")
+    assert("file\\naXme".matches(re), re)
+    assert(!"filenaXme".matches(re), re)
+    // `a\\\*b*c`: literal backslash THEN escaped '*' — the escaped wildcard
+    // must stay literal (the bare re-insert used to be consumed by the
+    // preceding literal backslash, re-activating the wildcard)
+    assert(p("a\\\\\\*b*c") === WildcardQ("default", "a\\\\\\*b*c"))
+    val re2 = QueryBind.wildcardRegex("a\\\\\\*b*c")
+    assert("a\\*bZZc".matches(re2), re2)
+    assert(!"a\\XbZZc".matches(re2), re2)
+  }
+
   test("escaped angle brackets are NOT typed-field syntax") {
     assert(p("foo\\<int\\>:9") === TermQ("foo<int>", "9"))
     // the unescaped form still parses typed

@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("optimize of a wide-shard index (docsPerShard > Int.MaxValue) re-synthesizes markers") {
+    val dir = Files.createTempDirectory("graft-wide").toString
+    val out = Files.createTempDirectory("graft-wide-opt").toString
+    val all = DocIds.assign(turnsDF(0, 80), Seq("conv_id", "turn_idx"), "docId", 8)
+    SegmentStore.build(all, "docId", fields, dir, docsPerShard = 5000000000L)
+    SegmentStore.optimize(spark, dir, out)
+    val opt = SegmentStore.open(spark, out).cached()
+    // stats survived the round-trip (the old hardcoded reconstructMarkers
+    // crashed here; a naive recon=false would emit an index with NO stats)
+    batchIndex.fieldStats.foreach { case (f, ref) =>
+      val fs = opt.fieldStats(f)
+      assert(fs.docCount == ref.docCount && math.abs(fs.avgdl - ref.avgdl) < 1e-9, s"stats differ for $f")
+    }
+    queries.foreach { q =>
+      val a = topK(opt, q)
+      val b = topK(batchIndex, q)
+      assert(a.map(_._1) === b.map(_._1), s"docIds differ for q=$q")
+      a.zip(b).foreach { case ((_, x), (_, y)) => assert(math.abs(x - y) <= 1e-9) }
+    }
+  }
+
   test("pre-sumDl fieldstats generations still open and fold exactly (round-5 schema compat)") {
     val dir = Files.createTempDirectory("graft-legacy-fs").toString
     IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
