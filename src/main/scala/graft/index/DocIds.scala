@@ -34,13 +34,31 @@ object DocIds {
       df: DataFrame,
       orderCols: Seq[String],
       docIdCol: String = "docId",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    assignWithCount(df, orderCols, docIdCol, numPartitions)._1
+
+  /** [[assign]], also returning the total row count — the per-partition
+    * counts the offset pass collects already sum to it, so callers that need
+    * the batch size (the incremental appender advancing nextDocId) get it
+    * for free instead of paying a separate count job.
+    */
+  def assignWithCount(
+      df: DataFrame,
+      orderCols: Seq[String],
+      docIdCol: String = "docId",
+      numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sessionState.conf.numShufflePartitions
     val keys = orderCols.map(col)
-    val sorted = df
-      .repartitionByRange(parts, keys: _*)
+    // explicit partition count when the caller pins one; otherwise leave it
+    // to the session + AQE coalescing (scale-adaptive: a corpus-scale batch
+    // keeps the session's partitioning — every partition clears the coalesce
+    // floor — while a small batch collapses to a few tasks instead of paying
+    // numShufflePartitions near-empty tasks in BOTH passes below). The rank
+    // is partition-invariant: range partition p's keys all precede p+1's and
+    // AQE only merges ADJACENT shuffle partitions, so the concatenated order
+    // — and therefore every assigned id — is the same at any partitioning.
+    val sorted = (if (numPartitions > 0) df.repartitionByRange(numPartitions, keys: _*)
+                  else df.repartitionByRange(keys: _*))
       .sortWithinPartitions(keys: _*)
 
     // No .persist(): both jobs run from the same RDD object, so the range
@@ -67,7 +85,7 @@ object DocIds {
       }.collect()
     }
 
-    val offsets = new Array[Long](parts)
+    val offsets = new Array[Long](rdd.getNumPartitions)
     var acc = 0L
     counts.sortBy(_._1).foreach { case (pid, n) => offsets(pid) = acc; acc += n }
     val bc = spark.sparkContext.broadcast(offsets)
@@ -81,7 +99,7 @@ object DocIds {
         out
       }
     }
-    spark.createDataFrame(assigned, outSchema)
+    (spark.createDataFrame(assigned, outSchema), acc)
   }
 
   /** Nearest shuffle-reading ancestor of `r` in its RDD lineage (the range

@@ -31,6 +31,16 @@ final case class SegmentRow(
   */
 final case class LineageRow(stage: String, pid: Int, rowsIn: Long, rowsOut: Long, bytesOut: Long)
 
+/** Per-partition, per-field fold of the dl-marker rows an encode task
+  * emitted: (docCount, Σdl) summed over the partition's (shard, field)
+  * marker rows. Riding back on an accumulator, these give the build exact
+  * field stats with ZERO read-back jobs (the old shape re-read the
+  * just-written segments parquet for a metadata aggregation); the driver
+  * fold dedupes by pid (retried tasks are deterministic per partition) and
+  * sums longs, so the result is bit-identical to the read-back agg.
+  */
+final case class MarkerStat(pid: Int, field: String, docCount: Long, sumDl: Long)
+
 /** The on-disk index: compressed posting segments + stats + spec, built in
   * resumable stages — the Spark-scale analog of the reference's Lucene index
   * directory with `last_seq` commit user data as its checkpoint
@@ -39,7 +49,7 @@ final case class LineageRow(stage: String, pid: Int, rowsIn: Long, rowsOut: Long
   * Layout under `dir/`:
   *   spec/        index field spec (source col, kind, analyzer)
   *   termstats/   (field, term, df, cf)
-  *   fieldstats/  (field, docCount, avgdl)
+  *   fieldstats/  (field, docCount, avgdl, sumDl)
   *   segments/    SegmentRow parquet, range-partitioned by (shard, field, term, docId)
   *   lineage/     LineageRow parquet per stage
   *   checkpoints/ <stage>.json markers — a rerun skips completed stages
@@ -137,10 +147,12 @@ object SegmentStore {
     // are requested.
     if (storedColumns.nonEmpty && !stageDone(dir, "stored")) {
       Timing.timed("build.stored") {
-        val parts = spark.sessionState.conf.numShufflePartitions
+        // AQE-coalescible (no explicit count) — see the encodeSegments note;
+        // also keeps output files near the advisory size instead of one
+        // sliver per session shuffle partition (guide: file sizing on write)
         docs.select(col(docIdCol).cast("long").as("docId") +: storedColumns.map(col): _*)
           .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
-          .repartition(parts, col("shard"))
+          .repartition(col("shard"))
           .sortWithinPartitions("docId")
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/stored")
         commitStage(dir, "stored", Map("columns" -> storedColumns.size.toLong))
@@ -157,6 +169,10 @@ object SegmentStore {
     val needStats = !stageDone(dir, "stats")
     val needSegments = !stageDone(dir, "segments")
 
+    // marker stats ride the encode job's accumulator (fresh builds) — the
+    // stats stage then writes field stats with NO read-back aggregation;
+    // the read-back fold below stays as the resume path only
+    var markerStatsMem: Option[IndexedSeq[FieldStats]] = None
     if (needSegments) {
       Timing.timed("build.encode") {
         // dl-marker rows are NOT shipped through the shuffle (round 5): the
@@ -173,13 +189,19 @@ object SegmentStore {
         // build re-read the committed segments for a metadata agg (a pure
         // driver-synchronized second job)
         val linAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
-        encodeSegments(postings, docsPerShard, Some(linAcc), reconstructMarkers = recon)
+        val mkAcc = spark.sparkContext.collectionAccumulator[MarkerStat]("graft.markerstats")
+        encodeSegments(postings, docsPerShard, Some(linAcc), reconstructMarkers = recon,
+          markerAcc = Some(mkAcc))
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
         // dedupe by pid: a speculative/retried task may report twice; the
         // rows are deterministic per partition so first-wins is exact
         val rows = {
           import scala.jdk.CollectionConverters._
           linAcc.value.asScala.groupBy(_.pid).map(_._2.head).toIndexedSeq.sortBy(_.pid)
+        }
+        markerStatsMem = {
+          import scala.jdk.CollectionConverters._
+          Some(foldMarkerStats(mkAcc.value.asScala.toSeq))
         }
         spark.createDataset(rows)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage")
@@ -196,19 +218,24 @@ object SegmentStore {
         // per-segment stats fold: vocab×shards METADATA rows, column-pruned
         // off the just-written parquet (blocks never read) — sums of longs,
         // so the totals are bit-identical to a direct postings aggregation
-        val seg = spark.read.parquet(s"$dir/segments")
+        val seg = readSegments(spark, s"$dir/segments")
           .select(col("field"), col("term"), col("df"), col("cf"))
         seg.filter(col("term") =!= IndexBuilder.DlMarker)
           .groupBy(col("field"), col("term"))
           .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
           .as[TermStats]
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/termstats")
-        // marker rows: per-shard (docCount, Σdl) → global docCount + avgdl
-        val fsRows = seg.filter(col("term") === IndexBuilder.DlMarker)
-          .groupBy(col("field"))
-          .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"),
-            sum(col("cf")).as("sumDl"))
-          .as[FieldStats].collect().toIndexedSeq
+        // field stats: folded from the encode job's marker accumulator when
+        // the encode ran in THIS call (zero extra jobs); the read-back agg
+        // over the marker segment rows is the resume path (segments stage
+        // committed by an earlier, crashed run)
+        val fsRows = markerStatsMem.getOrElse {
+          seg.filter(col("term") === IndexBuilder.DlMarker)
+            .groupBy(col("field"))
+            .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"),
+              sum(col("cf")).as("sumDl"))
+            .as[FieldStats].collect().toIndexedSeq
+        }
         spark.createDataset(fsRows)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
         fieldStatsMem = Some(fsRows)
@@ -266,11 +293,18 @@ object SegmentStore {
     else if (stageDone(dir, "spec")) Some(specDigest(open0Fields(spark, dir)))
     else None
 
+  /** Spec schema pinned at read (round 6): schema inference over the spec
+    * parquet was a per-open job; `boost` entered the schema in round 2, so a
+    * round-1 dir reads it as null → 1.0.
+    */
+  private val SpecSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "indexField STRING, source STRING, kind STRING, analyzer STRING, boost DOUBLE")
+
   private def open0Fields(spark: SparkSession, dir: String): Seq[FieldDef] = {
     import spark.implicits._
-    val specDf = spark.read.parquet(s"$dir/spec")
-    (if (specDf.columns.contains("boost")) specDf else specDf.withColumn("boost", lit(1.0)))
-      .select("indexField", "source", "kind", "analyzer", "boost")
+    spark.read.schema(SpecSchema).parquet(s"$dir/spec")
+      .select(col("indexField"), col("source"), col("kind"), col("analyzer"),
+        coalesce(col("boost"), lit(1.0)).as("boost"))
       .as[(String, String, String, String, Double)].collect()
       .map { case (idxF, src, kind, an, boost) =>
         FieldDef(idxF, src, kind match {
@@ -318,16 +352,23 @@ object SegmentStore {
       postings: Dataset[Posting],
       docsPerShard: Long,
       lineageAcc: Option[org.apache.spark.util.CollectionAccumulator[LineageRow]] = None,
-      reconstructMarkers: Boolean = false): Dataset[SegmentRow] = {
+      reconstructMarkers: Boolean = false,
+      markerAcc: Option[org.apache.spark.util.CollectionAccumulator[MarkerStat]] = None): Dataset[SegmentRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
     // hash-partition by shard (shard sizes are bounded by docsPerShard, so
     // the layout is balanced by construction — no range-sampling pass), then
-    // sort brings each (shard, field, term) run contiguous and docId-ordered
+    // sort brings each (shard, field, term) run contiguous and docId-ordered.
+    // No explicit partition count: AQE coalesces the exchange from observed
+    // sizes (scale-adaptive — a corpus-scale build keeps the session's full
+    // partition count because every partition clears the coalesce floor,
+    // while a small batch collapses to a handful of tasks instead of
+    // scheduling numShufflePartitions near-empty encode tasks). Coalescing
+    // merges whole post-shuffle partitions, so the whole-shards-per-
+    // partition invariant the marker reconstruction needs is preserved.
     val sortedRuns = postings
       .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
-      .repartition(parts, col("shard"))
+      .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("field"), col("term"), col("docId"))
       .as[(String, String, Long, Int, Array[Int], Int, Int)] // field,term,docId,tf,positions,dl,shard
 
@@ -443,37 +484,70 @@ object SegmentStore {
         }
       }
     }
-    lineageAcc match {
-      case None => sortedRuns.mapPartitions(encodeFn)
-      case Some(acc) =>
-        sortedRuns.mapPartitions { it =>
-          val pid = TaskContext.getPartitionId()
-          val out = encodeFn(it)
-          new Iterator[SegmentRow] {
-            private var rowsIn = 0L
-            private var rowsOut = 0L
-            private var bytesOut = 0L
-            def hasNext: Boolean = {
-              val h = out.hasNext
-              if (!h && rowsOut > 0) {
-                acc.add(LineageRow("segments", pid, rowsIn, rowsOut, bytesOut))
-                rowsOut = -1L // report once; empty partitions stay silent
-              }
-              h
+    if (lineageAcc.isEmpty && markerAcc.isEmpty) sortedRuns.mapPartitions(encodeFn)
+    else
+      sortedRuns.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val out = encodeFn(it)
+        new Iterator[SegmentRow] {
+          private var rowsIn = 0L
+          private var rowsOut = 0L
+          private var bytesOut = 0L
+          // per-field (docCount, Σdl) fold of this partition's marker rows —
+          // emitted once at exhaustion so the accumulator carries
+          // #partitions × #fields rows, never one per (shard, field)
+          private val perField = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+          private var reported = false
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !reported) {
+              reported = true // report once; empty partitions stay silent
+              if (rowsOut > 0)
+                lineageAcc.foreach(_.add(LineageRow("segments", pid, rowsIn, rowsOut, bytesOut)))
+              markerAcc.foreach(acc => perField.foreach { case (f, (dc, sd)) =>
+                acc.add(MarkerStat(pid, f, dc, sd))
+              })
             }
-            def next(): SegmentRow = {
-              val r = out.next()
-              // stats-only marker rows are metadata, not postings — keep
-              // the lineage invariant rowsIn == postings tokenized
-              if (r.term != IndexBuilder.DlMarker) {
-                rowsIn += r.df; rowsOut += 1; bytesOut += r.bytes
-              }
-              r
+            h
+          }
+          def next(): SegmentRow = {
+            val r = out.next()
+            // stats-only marker rows are metadata, not postings — keep
+            // the lineage invariant rowsIn == postings tokenized
+            if (r.term != IndexBuilder.DlMarker) {
+              rowsIn += r.df; rowsOut += 1; bytesOut += r.bytes
+            } else if (markerAcc.isDefined) {
+              val cur = perField.getOrElse(r.field, (0L, 0L))
+              perField.update(r.field, (cur._1 + r.df, cur._2 + r.cf))
             }
+            r
           }
         }
-    }
+      }
   }
+
+  /** Fold a marker-stat accumulator's rows into exact [[FieldStats]]: dedupe
+    * by (pid, field) — a speculative/retried task may report twice, and the
+    * rows are deterministic per partition — then sum longs per field. The
+    * division is the same long→double cast as the read-back agg's
+    * `sum(cf)/sum(df)`, so the stats are bit-identical.
+    */
+  /** [[foldMarkerStats]] straight off an accumulator — for the incremental
+    * appender (same dedupe + fold, one definition).
+    */
+  private[graft] def foldMarkerStatsPublic(
+      acc: org.apache.spark.util.CollectionAccumulator[MarkerStat]): IndexedSeq[FieldStats] = {
+    import scala.jdk.CollectionConverters._
+    foldMarkerStats(acc.value.asScala.toSeq)
+  }
+
+  private def foldMarkerStats(rows: Seq[MarkerStat]): IndexedSeq[FieldStats] =
+    rows.groupBy(m => (m.pid, m.field)).map(_._2.head).toSeq
+      .groupBy(_.field).map { case (f, ms) =>
+        val dc = ms.map(_.docCount).sum
+        val sd = ms.map(_.sumDl).sum
+        FieldStats(f, dc, sd.toDouble / dc.toDouble, sd)
+      }.toIndexedSeq.sortBy(_.field)
 
   /** Open an index whose `termstats`/`fieldstats`/`segments` hold several
     * appended generations (incremental maintenance): stats are folded at
@@ -483,21 +557,24 @@ object SegmentStore {
     */
   def openMerged(spark: SparkSession, dir: String): SegmentIndex = {
     import spark.implicits._
-    val base = open(spark, dir)
+    val (base, fsRows) = openRaw(spark, dir)
     val mergedTerm = base.termStats
       .groupBy($"field", $"term")
       .agg(sum($"df").as("df"), sum($"cf").as("cf"))
       .as[TermStats]
     // exact fold: Σdl travels as a long per generation, so the merged avgdl
     // is one division over exact integer sums — no docCount·avgdl FP
-    // round-trip that could drift after many appended generations
-    val mergedField = readFieldStats(spark, s"$dir/fieldstats")
-      .groupBy($"field")
-      .agg(sum($"docCount").as("docCount"),
-        (sum($"sumDl") / sum($"docCount")).as("avgdl"),
-        sum($"sumDl").as("sumDl"))
-      .as[FieldStats]
-      .collect().map(fs => fs.field -> fs).toMap
+    // round-trip that could drift after many appended generations. The
+    // per-generation rows are tiny (#generations × #fields), so the fold
+    // runs on the driver over the SAME collect open() already did (round 6:
+    // the old shape read the fieldstats dir twice per openMerged and paid a
+    // groupBy exchange job for the fold).
+    val mergedField = fsRows
+      .groupBy(_.field).map { case (f, gens) =>
+        val dc = gens.map(_.docCount).sum
+        val sd = gens.map(_.sumDl).sum
+        f -> FieldStats(f, dc, sd.toDouble / dc.toDouble, sd)
+      }
     new SegmentIndex(base.segments, mergedTerm, mergedField, base.fields, base.docsPerShard,
       stored = base.stored)
   }
@@ -522,7 +599,7 @@ object SegmentStore {
     val dps = if (docsPerShard > 0) docsPerShard else docsPerShardOf(dir)
     // tombstones dropped via anti-join (never a driver-side Set — at scale
     // deletes are normal state, potentially corpus-sized)
-    val decoded: Dataset[Posting] = spark.read.parquet(s"$dir/segments").as[SegmentRow]
+    val decoded: Dataset[Posting] = readSegments(spark, s"$dir/segments").as[SegmentRow]
       .flatMap { row =>
         row.blocks.iterator.flatMap(Codec.decode(_).iterator)
           .map(d => Posting(row.field, row.term, d.docId, d.tf, d.positions, d.dl))
@@ -535,7 +612,8 @@ object SegmentStore {
     // spec carries over; stats recomputed post-expunge
     java.nio.file.Files.createDirectories(Paths.get(outDir))
     writeShardSpec(outDir, dps)
-    spark.read.parquet(s"$dir/spec").coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
+    spark.read.schema(SpecSchema).parquet(s"$dir/spec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
     commitStage(outDir, "spec", Map.empty)
     // stored sidecar: expunge tombstoned rows too — a doc-value-only query
     // (no posting conjunction) reads stored directly, so a row surviving
@@ -564,21 +642,24 @@ object SegmentStore {
           .select(col("field"), lit(IndexBuilder.DlMarker).as("term"), col("docId"),
             col("dl").as("tf"), lit(Array.empty[Int]).as("positions"), col("dl"))
           .as[Posting])
-    encodeSegments(encodable, dps, reconstructMarkers = recon)
+    val mkAcc = spark.sparkContext.collectionAccumulator[MarkerStat]("graft.markerstats")
+    encodeSegments(encodable, dps, reconstructMarkers = recon, markerAcc = Some(mkAcc))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/segments")
     commitStage(outDir, "segments", Map.empty)
-    val seg = spark.read.parquet(s"$outDir/segments")
+    val seg = readSegments(spark, s"$outDir/segments")
       .select(col("field"), col("term"), col("df"), col("cf"))
     seg.filter(col("term") =!= IndexBuilder.DlMarker)
       .groupBy(col("field"), col("term"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
       .as[TermStats]
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/termstats")
-    seg.filter(col("term") === IndexBuilder.DlMarker)
-      .groupBy(col("field"))
-      .agg(sum(col("df")).as("docCount"), (sum(col("cf")) / sum(col("df"))).as("avgdl"),
-        sum(col("cf")).as("sumDl"))
-      .as[FieldStats]
+    // field stats fold from the encode job's marker accumulator — the
+    // optimize runs its encode unconditionally, so no read-back fallback
+    val fsRows = {
+      import scala.jdk.CollectionConverters._
+      foldMarkerStats(mkAcc.value.asScala.toSeq)
+    }
+    spark.createDataset(fsRows)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
     commitStage(outDir, "stats", Map.empty)
   }
@@ -603,6 +684,15 @@ object SegmentStore {
     subs.foreach { sub =>
       deleteRecursively(s"$dir/$sub")
       Files.move(Paths.get(s"$staging/$sub"), Paths.get(s"$dir/$sub"))
+      // `_cleanup` hygiene: drop the Hadoop commit side-files (`_SUCCESS`,
+      // `.crc`) from the swapped-in dirs — generation promotion only ever
+      // moves `*.parquet`, and these markers are per-write artifacts, not
+      // index data; leaving them made the "cleanup shrinks the dir"
+      // observable depend on how many part files the writes happened to emit
+      scala.util.Using.resource(Files.list(Paths.get(s"$dir/$sub")))(_.forEach { p =>
+        val n = p.getFileName.toString
+        if (!n.endsWith(".parquet")) Files.delete(p)
+      })
     }
     // compact the upsert key map (if any): drop rows whose docIds the
     // optimize just expunged, BEFORE clearing the tombstone log
@@ -665,7 +755,7 @@ object SegmentStore {
   def deletedDocsDF(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     if (!Files.exists(Paths.get(s"$dir/tombstones"))) spark.emptyDataset[Long].toDF("docId")
-    else spark.read.parquet(s"$dir/tombstones").distinct()
+    else spark.read.schema("docId BIGINT").parquet(s"$dir/tombstones").distinct()
   }
 
   /** Driver-side tombstone set — bounded uses only (tests, info counts). */
@@ -678,17 +768,21 @@ object SegmentStore {
     * (DatabaseIndexer.java:386-430): doc/term/byte counts and field list.
     */
   def info(spark: SparkSession, dir: String): Map[String, Any] = {
-    import spark.implicits._
     val idx = openMerged(spark, dir)
     val seg = idx.segments
-    val m = seg.agg(count(lit(1)), sum(col("bytes")), countDistinct(col("shard"))).head()
+    // ONE action for all the distributed counts: the segment-metadata agg
+    // and the tombstone count cross-joined into a single row (each side is a
+    // 1-row aggregate), instead of two separately-scheduled jobs per call
+    val tomb = deletedDocsDF(spark, dir).agg(count(lit(1)).as("del"))
+    val m = seg.agg(count(lit(1)), sum(col("bytes")), countDistinct(col("shard")))
+      .crossJoin(tomb).head()
     Map(
       "doc_count" -> idx.fieldStats.values.map(_.docCount).max,
       "fields" -> idx.fields.map(_.indexField),
       "segment_rows" -> m.getLong(0),
       "disk_bytes" -> m.getLong(1),
       "shards" -> m.getLong(2),
-      "deleted_count" -> deletedDocsDF(spark, dir).count())
+      "deleted_count" -> m.getLong(3))
   }
 
   /** Canonical analyzer name persisted in the spec; must round-trip through
@@ -716,29 +810,47 @@ object SegmentStore {
     * generations under mergeSchema) would sum nulls as zero and fold a
     * silently deflated avgdl into BM25.
     */
+  private val FieldStatsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "field STRING, docCount BIGINT, avgdl DOUBLE, sumDl BIGINT")
+
+  // schemas pinned from the writer-side encoders (round 6): every
+  // `spark.read.parquet` without a schema runs a footer-inference job —
+  // opens and maintenance ops paid one per table read
+  private val SegmentRowSchema = org.apache.spark.sql.Encoders.product[SegmentRow].schema
+  private val TermStatsSchema = org.apache.spark.sql.Encoders.product[TermStats].schema
+
+  /** Segments read with the pinned schema (no inference job). */
+  private[graft] def readSegments(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(SegmentRowSchema).parquet(path)
+
   private def readFieldStats(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(path)
-    val sumCol =
-      if (raw.columns.contains("sumDl"))
-        coalesce(col("sumDl"), round(col("docCount") * col("avgdl")).cast("long"))
-      else round(col("docCount") * col("avgdl")).cast("long")
-    raw.select(col("field"), col("docCount"), col("avgdl"), sumCol.as("sumDl"))
+    // explicit schema (round 6): the old mergeSchema read ran a distributed
+    // footer-merge job per open; pinning the schema reads pre-sumDl
+    // generation files as null sumDl, which the same coalesce reconstructs
+    val raw = spark.read.schema(FieldStatsSchema).parquet(path)
+    raw.select(col("field"), col("docCount"), col("avgdl"),
+      coalesce(col("sumDl"), round(col("docCount") * col("avgdl")).cast("long")).as("sumDl"))
   }
 
-  def open(spark: SparkSession, dir: String): SegmentIndex = {
+  def open(spark: SparkSession, dir: String): SegmentIndex = openRaw(spark, dir)._1
+
+  /** [[open]] plus the raw per-generation fieldstats rows — so
+    * [[openMerged]] can fold them without a second read of the dir.
+    */
+  private def openRaw(spark: SparkSession, dir: String): (SegmentIndex, Seq[FieldStats]) = {
     import spark.implicits._
     // boost entered the spec in round 2 — a round-1 (4-column) dir still
     // opens, defaulting boost to 1.0 (ADVICE r2: no opaque encoder error)
     val fields = open0Fields(spark, dir)
-    val fieldStats = readFieldStats(spark, s"$dir/fieldstats").as[FieldStats]
-      .collect().map(fs => fs.field -> fs).toMap
+    val fsRows = readFieldStats(spark, s"$dir/fieldstats").as[FieldStats].collect().toSeq
     val stored =
       if (Files.exists(Paths.get(s"$dir/stored"))) Some(spark.read.parquet(s"$dir/stored"))
       else None
-    new SegmentIndex(
-      spark.read.parquet(s"$dir/segments").as[SegmentRow],
-      spark.read.parquet(s"$dir/termstats").as[TermStats],
-      fieldStats, fields, docsPerShardOf(dir), stored = stored)
+    val idx = new SegmentIndex(
+      readSegments(spark, s"$dir/segments").as[SegmentRow],
+      spark.read.schema(TermStatsSchema).parquet(s"$dir/termstats").as[TermStats],
+      fsRows.map(fs => fs.field -> fs).toMap, fields, docsPerShardOf(dir), stored = stored)
+    (idx, fsRows)
   }
 }
 
