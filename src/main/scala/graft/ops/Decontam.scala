@@ -21,10 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct shingle hashes per doc, exploded to (doc_id, shash) rows. */
+  /** Distinct shingle hashes per doc, exploded to (doc_id, shash) rows.
+    * Tokens materialized in their own projection first — inline,
+    * CollapseProject substitutes the tokenize expression into every
+    * slice/size reference of the shingle chain (see Dedup.minhashSignatures).
+    */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(transform(Dedup.shingles(col(textCol), w),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(Dedup.shinglesOf(col("toks"), w),
           s => Dedup.hash64(s)))).as("shash"))
 
   /** Per-document contamination hits: the number of distinct word-w-gram

@@ -81,9 +81,17 @@ object Dedup {
     * multi-referenced non-trivial aliases un-inlined.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, numHashes: Int = 8): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // tokens materialized in their OWN projection before the shingle
+    // zip_with chain (round 6): with `shingles(text)` inline, CollapseProject
+    // substituted the full tokenize expression into every slice/size
+    // reference — ~2w tokenize evaluations per row — and the old
+    // `size(sh) > 0` guard re-evaluated the whole shingle chain again below
+    // the projection. A document has a shingle iff it has ≥ w tokens, so the
+    // guard needs one tokenize, not the chain.
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
     val mins = (0 until numHashes).map(i =>
       array_min(transform(col("sh"), s => hash64(concat(s, lit(s"#$i"))))).as(s"h$i"))
     sh.select(col("doc_id") +: mins: _*)
@@ -116,18 +124,26 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
     }
     val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bucket"))
-    val ranked = bands.withColumn("rn",
-      row_number().over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-    ranked.as("x").join(ranked.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + maxNeighbors)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // capped successor pairing as ONE window pass (round 6): within a
+    // bucket, collect each doc's next `maxNeighbors` doc_ids (doc_id order)
+    // and explode — the identical pair set the old rn self-join produced,
+    // but the join's two sides each re-ran the whole scan → shingle →
+    // signature → explode → window pipeline (no exchange reuse under AQE),
+    // doubling the corpus work and adding a join exchange. Same bucket
+    // shuffle, same skew bound (the frame is ≤ maxNeighbors rows).
+    val wNext = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(1, maxNeighbors)
+    bands.withColumn("succ", collect_list(col("doc_id")).over(wNext))
+      .select(col("doc_id").as("a"), explode(col("succ")).as("b"))
+      .distinct()
   }
 
-  /** Distinct shingle sets per doc, for candidate verification. */
+  /** Distinct shingle sets per doc, for candidate verification. Tokens
+    * materialized first — see the minhashSignatures note.
+    */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      array_distinct(shingles(col(textCol))).as("sh"))
+    docs.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("toks"))).as("sh"))
 
   /** True-Jaccard verification of a candidate pair frame: melt each pair to
     * its two doc ids, join the shingle sets ONCE, regroup by pair (a < b

@@ -250,14 +250,19 @@ object Similarity {
       maxNeighbors: Int = 32): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val ranked = e.withColumn("rn",
-      org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
-    ranked.as("x").join(ranked.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("y.rn") > col("x.rn") && col("y.rn") <= col("x.rn") + maxNeighbors)
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(cosine(col("x.v"), col("y.v")), 4).as("cos_r"))
+    // capped successor pairing as ONE window pass (round 6, same rewrite as
+    // Dedup.lshCandidates): collect each vector's next `maxNeighbors`
+    // (vec_id, v) successors within its bucket and explode — the identical
+    // pair set (and identical cosine operand order: a = the lower id's
+    // vector) the old rn self-join produced by scanning and
+    // window-shuffling the corpus TWICE.
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("vec_id"))
+      .rowsBetween(1, maxNeighbors)
+    e.withColumn("succ", collect_list(struct(col("vec_id"), col("v"))).over(wNext))
+      .select(col("vec_id").as("a"), col("v").as("va"), explode(col("succ")).as("s"))
+      .select(col("a"), col("s.vec_id").as("b"),
+        round(cosine(col("va"), col("s.v")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("a").asc, col("b").asc)
       .limit(k)
   }

@@ -108,8 +108,12 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        Dedup.shingles(col(textCol), w).as("sh"))
-      .filter(size(col("sh")) > 0)
+        Dedup.tokens(col(textCol)).as("toks"))
+      // one-tokenize guard + materialized tokens (round 6): a doc has a
+      // shingle iff it has ≥ w tokens — the old size(sh) > 0 filter
+      // re-evaluated the whole inlined shingle chain below the projection
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), Dedup.shinglesOf(col("toks"), w).as("sh"))
       .select(col("doc_id"),
         (floor((size(col("sh")) - size(array_distinct(col("sh")))).cast("double")
           / size(col("sh")).cast("double") * 1000000.0 + 0.5) / 1000000.0).as("rep_ratio"))
@@ -147,7 +151,8 @@ object TextAnalysis {
     */
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 3, k: Int = 20): DataFrame =
-    docs.select(explode(array_distinct(Dedup.shingles(col(textCol), w))).as("shingle"))
+    docs.select(Dedup.tokens(col(textCol)).as("toks")) // materialized once — see repetition
+      .select(explode(array_distinct(Dedup.shinglesOf(col("toks"), w))).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(k)
@@ -164,8 +169,9 @@ object TextAnalysis {
       w: Int = 3, k: Int = 20): DataFrame = {
     val top = broadcast(boilerplate(docs, idCol, textCol, w, k).select(col("shingle")))
     val perDoc = docs.select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(Dedup.shingles(col(textCol), w)).as("sh"))
-      .filter(size(col("sh")) > 0)
+        Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w) // one-tokenize guard — see repetition
+      .select(col("doc_id"), array_distinct(Dedup.shinglesOf(col("toks"), w)).as("sh"))
     perDoc.select(col("doc_id"), size(col("sh")).cast("double").as("n_shingles"),
         explode(col("sh")).as("shingle"))
       .join(top, Seq("shingle"), "left_semi")
