@@ -12,10 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ in index order (deterministic summation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def foldCol(a: Column, b: Column, l2: Boolean): Column =
+    org.apache.spark.sql.GraftColumn.column(
+      graft.functions.VecFoldExpression(
+        org.apache.spark.sql.GraftColumn.expression(a),
+        org.apache.spark.sql.GraftColumn.expression(b), l2))
+
+  /** Σ aᵢbᵢ in index order (deterministic summation). Native codegen'd
+    * expression (round 6) — the `aggregate(zip_with(...))` formulation is
+    * CodegenFallback, an interpreted lambda per element per row; the fold
+    * order and null semantics are reproduced exactly
+    * ([[graft.functions.VecFoldExpression]], property-tested against the
+    * old expression).
+    */
+  def dot(a: Column, b: Column): Column = foldCol(a, b, l2 = false)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -80,9 +90,8 @@ object Similarity {
       .limit(k)
   }
 
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ (aᵢ−bᵢ)² in index order — same native fold as [[dot]]. */
+  def l2sq(a: Column, b: Column): Column = foldCol(a, b, l2 = true)
 
   // ---- IVF ---------------------------------------------------------------
   //
@@ -124,9 +133,7 @@ object Similarity {
 
   /** Σ(x−y)² of a vector column against a literal centroid (index-order fold). */
   private def l2sqLit(v: Column, ce: Seq[Double]): Column =
-    aggregate(zip_with(v, array(ce.map(lit): _*),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, d) => acc + d)
+    l2sq(v, array(ce.map(lit): _*))
 
   /** Narrow cell assignment: argmin over literal centroids (ties → lowest
     * cid) via `array_min` over (dist, cid) structs — struct ordering IS the
