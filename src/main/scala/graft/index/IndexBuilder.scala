@@ -15,9 +15,16 @@ final case class TextIndex(
     postings: Dataset[Posting],
     docs: DataFrame, // stored fields, includes docIdCol
     termStats: Dataset[TermStats],
-    fieldStats: Map[String, FieldStats],
+    fieldStatsFn: () => Map[String, FieldStats],
     docIdCol: String,
     fields: Seq[FieldDef]) {
+
+  /** Per-field corpus stats, computed on FIRST use (round 6): a doc-value
+    * query (typed point/range over the stored table) touches neither
+    * postings nor stats — eager stats forced a full tokenize+collect of the
+    * corpus at build for queries that never score a term.
+    */
+  @transient lazy val fieldStats: Map[String, FieldStats] = fieldStatsFn()
 
   /** Driver-side memo of term statistics: each distinct query term costs one
     * filtered scan of the (cached) stats table once, then is served from the
@@ -213,9 +220,10 @@ object IndexBuilder {
     val spark = docs.sparkSession
     import spark.implicits._
     val withMarkers = tokenizePostingsWithMarkers(docs, docIdCol, fields).persist()
-    val fs = fieldStatsFromMarkers(withMarkers).as[FieldStats]
-      .collect().map(f => f.field -> f).toMap
     val postings = withMarkers.filter(_.term != DlMarker)
-    TextIndex(postings, docs, termStats(postings), fs, docIdCol, fields)
+    TextIndex(postings, docs, termStats(postings),
+      () => fieldStatsFromMarkers(withMarkers).as[FieldStats]
+        .collect().map(f => f.field -> f).toMap,
+      docIdCol, fields)
   }
 }

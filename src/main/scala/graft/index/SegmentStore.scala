@@ -612,8 +612,20 @@ object SegmentStore {
     // spec carries over; stats recomputed post-expunge
     java.nio.file.Files.createDirectories(Paths.get(outDir))
     writeShardSpec(outDir, dps)
-    spark.read.schema(SpecSchema).parquet(s"$dir/spec")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/spec")
+    // spec carries over VERBATIM — a byte-level file copy (round 6): the
+    // old read→rewrite through Spark was a whole job to reproduce a
+    // kilobyte parquet file the source dir already holds
+    deleteRecursively(s"$outDir/spec")
+    Files.createDirectories(Paths.get(s"$outDir/spec"))
+    scala.util.Using.resource(Files.list(Paths.get(s"$dir/spec")))(_.forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, Paths.get(s"$outDir/spec").resolve(p.getFileName))
+    })
+    if (Files.exists(specDigestPath(dir))) {
+      Files.createDirectories(specDigestPath(outDir).getParent)
+      Files.copy(specDigestPath(dir), specDigestPath(outDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     commitStage(outDir, "spec", Map.empty)
     // stored sidecar: expunge tombstoned rows too — a doc-value-only query
     // (no posting conjunction) reads stored directly, so a row surviving

@@ -104,7 +104,9 @@ object Sampling {
       groupCol: String,
       k: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"), col(groupCol),
-        TextAnalysis.qualityCol(col(textCol)).as("quality"))
+        TextAnalysis.rawTokens(col(textCol)).as("toks")) // materialized once
+      .select(col("doc_id"), col(groupCol),
+        TextAnalysis.qualityColOf(col("toks")).as("quality"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("quality").desc, col("doc_id").asc))
         .cast("long"))

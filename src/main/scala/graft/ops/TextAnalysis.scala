@@ -22,13 +22,18 @@ object TextAnalysis {
     * linguistics.)
     */
   def langId(docs: DataFrame, idCol: String, textCol: String, threshold: Double = 0.05): DataFrame = {
-    val toks = rawTokens(col(textCol))
+    // tokens (then the ratio) materialized in their own projections
+    // (round 6): inline, CollapseProject substituted the tokenize expression
+    // into each reference and the ratio into both output columns
+    val toks = col("toks")
     val hits = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
     // arithmetic floor rounding (not round()): the ratio is an exact
     // rational that can land on the grid — same hardening as quality()
     val ratio = floor(hits / greatest(size(toks), lit(1)).cast("double") * 1000000.0 + 0.5) / 1000000.0
-    docs.select(col(idCol).cast("long").as("doc_id"), ratio.as("en_ratio"),
-      when(ratio > threshold, lit("en")).otherwise(lit("und")).as("lang_guess"))
+    docs.select(col(idCol).cast("long").as("doc_id"), rawTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), ratio.as("en_ratio"))
+      .select(col("doc_id"), col("en_ratio"),
+        when(col("en_ratio") > threshold, lit("en")).otherwise(lit("und")).as("lang_guess"))
   }
 
   /** The composite quality score as a standalone column — the identical
@@ -37,8 +42,14 @@ object TextAnalysis {
     * floor-rounded to 4 places; see the notes in [[quality]]). Shared with
     * [[Sampling.topKPerGroup]] so selection ranks by exactly the gated score.
     */
-  def qualityCol(text: Column): Column = {
-    val toks = rawTokens(text)
+  def qualityCol(text: Column): Column = qualityColOf(rawTokens(text))
+
+  /** [[qualityCol]] over an already-materialized token-array column —
+    * callers that can project the tokens first (quality, topKPerGroup)
+    * should, so CollapseProject can't substitute the tokenize expression
+    * into each of the four token references.
+    */
+  def qualityColOf(toks: Column): Column = {
     val n = size(toks).cast("double")
     val nz = greatest(size(toks), lit(1)).cast("double")
     val stops = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
@@ -53,7 +64,7 @@ object TextAnalysis {
     * of heuristic quality filters.
     */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = rawTokens(col(textCol))
+    val toks = col("toks") // materialized below — see langId
     val n = size(toks).cast("double")
     val nz = greatest(size(toks), lit(1)).cast("double")
     val meanLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nz
@@ -70,13 +81,14 @@ object TextAnalysis {
     // string HALF_UP and DuckDB's binary rounding disagree; floor-based
     // rounding is the same pure double pipeline in both engines
     def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
-    docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      n.cast("long").as("n_tokens"),
-      r4(meanLen).as("mean_token_len"),
-      r4(stopRatio).as("stop_ratio"),
-      r4(ttr).as("ttr"),
-      qualityCol(col(textCol)).as("quality"))
+    docs.select(col(idCol).cast("long").as("doc_id"), rawTokens(col(textCol)).as("toks"))
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        r4(meanLen).as("mean_token_len"),
+        r4(stopRatio).as("stop_ratio"),
+        r4(ttr).as("ttr"),
+        qualityColOf(toks).as("quality"))
   }
 
   /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish
