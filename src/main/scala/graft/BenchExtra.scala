@@ -54,13 +54,18 @@ object BenchExtra {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicLong(0L)
+    private val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       jobs.incrementAndGet()
       if (verbose) {
         val site = j.stageInfos.map(_.name).mkString(" | ")
-        println(s"JOB ${j.jobId} at $site")
+        jobStartNs.put(j.jobId, (System.nanoTime(), site))
       }
     }
+    override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      if (verbose) Option(jobStartNs.remove(j.jobId)).foreach { case (t0, site) =>
+        println(f"JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%7.1f ms at $site")
+      }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       tasks.addAndGet(sc.stageInfo.numTasks.toLong)

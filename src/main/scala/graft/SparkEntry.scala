@@ -345,7 +345,10 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), 0L, dir, "doc_id", "text")
       graft.streaming.IncrementalDedup.dedupBatch(
         docs.filter(col("doc_id") >= 250), 1L, dir, "doc_id", "text")
-      s.read.parquet(s"$dir/digests").select(col("doc_id"), col("content_md5"))
+      // digest-store schema is fixed by IncrementalDedup's own writer —
+      // pinning it skips the footer-inference job (result unchanged)
+      s.read.schema(graft.streaming.IncrementalDedup.DigestSchema)
+        .parquet(s"$dir/digests").select(col("doc_id"), col("content_md5"))
     }),
     // training-data pipeline: deduplication
     "op_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(docsTable(s, d), "doc_id", "text")),

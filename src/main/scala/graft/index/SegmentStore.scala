@@ -47,12 +47,15 @@ final case class MarkerStat(pid: Int, field: String, docCount: Long, sumDl: Long
   * (/root/reference/src/main/java/com/github/rnewson/couchdb/lucene/DatabaseIndexer.java:199-211,715-729).
   *
   * Layout under `dir/`:
-  *   spec/        index field spec (source col, kind, analyzer)
-  *   termstats/   (field, term, df, cf)
-  *   fieldstats/  (field, docCount, avgdl, sumDl)
+  *   termstats/   (field, term, df, cf) parquet (vocab-sized — stays a table)
   *   segments/    SegmentRow parquet, range-partitioned by (shard, field, term, docId)
-  *   lineage/     LineageRow parquet per stage
-  *   checkpoints/ <stage>.json markers — a rerun skips completed stages
+  *   lineage/     lineage.tsv — per-partition LineageRow sidecar per stage
+  *   checkpoints/ <stage>.json markers — a rerun skips completed stages —
+  *                plus the driver-side metadata sidecars (round 6):
+  *                spec.tsv (indexField, source, kind, analyzer, boost),
+  *                fieldstats.tsv (gen, field, docCount, avgdl, sumDl).
+  *                Pre-round-6 dirs carry spec/ + fieldstats/ parquet
+  *                instead; readers fall back to those when no sidecar exists
   *
   * Production note: each stage's write maps 1:1 onto an Iceberg table commit
   * (snapshot id = the checkpoint); this sandbox has no Iceberg jars, so the
@@ -61,6 +64,107 @@ final case class MarkerStat(pid: Int, field: String, docCount: Long, sumDl: Long
 object SegmentStore {
 
   private def ckptPath(dir: String, stage: String) = Paths.get(s"$dir/checkpoints/$stage.json")
+
+  // ---- driver-side metadata sidecars (round 6) -------------------------
+  // spec, fieldstats and lineage are #fields / #generations×#fields /
+  // #partitions-sized metadata that is ALREADY driver-resident at every
+  // write site (FieldDefs in memory, marker-accumulator folds, lineage
+  // accumulators) — the Lucene segments-info/commit-user-data analog.
+  // Round-5 wrote and re-read them as parquet THROUGH Spark: one scheduled
+  // job (plus a full plan/optimize cycle) per tiny table per build/open —
+  // pure serial tax on the build path and a fixed per-open cost on every
+  // maintenance op (guide §1.2: remove driver-synchronized passes first).
+  // They are now TSV sidecars written/read driver-side with zero jobs; the
+  // parquet read paths remain as fallbacks so pre-round-6 dirs still open.
+
+  private def escTsv(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unescTsv(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def writeTsv(path: java.nio.file.Path, lines: Seq[String]): Unit = {
+    Files.createDirectories(path.getParent)
+    Files.writeString(path, lines.mkString("", "\n", "\n"))
+  }
+
+  private def readTsv(path: java.nio.file.Path): Seq[Array[String]] =
+    Files.readString(path).split("\n").toSeq.filter(_.nonEmpty)
+      // -1: keep trailing empty cells (an empty analyzer name is legal)
+      .map(_.split("\t", -1).map(unescTsv))
+
+  private def specTsvPath(dir: String) = Paths.get(s"$dir/checkpoints/spec.tsv")
+
+  private[graft] def fieldStatsTsvPath(dir: String) = Paths.get(s"$dir/checkpoints/fieldstats.tsv")
+
+  /** Write the full per-generation fieldstats map (driver-side, no job). */
+  private[graft] def writeFieldStatsGens(dir: String, gens: Map[String, Seq[FieldStats]]): Unit =
+    writeTsv(fieldStatsTsvPath(dir),
+      gens.toSeq.sortBy(_._1).flatMap { case (gen, rows) =>
+        rows.sortBy(_.field).map(r =>
+          s"${escTsv(gen)}\t${escTsv(r.field)}\t${r.docCount}\t" +
+            s"${java.lang.Double.toString(r.avgdl)}\t${r.sumDl}")
+      })
+
+  private[graft] def readFieldStatsGens(dir: String): Option[Map[String, Seq[FieldStats]]] =
+    if (!Files.exists(fieldStatsTsvPath(dir))) None
+    else Some(readTsv(fieldStatsTsvPath(dir))
+      .map(c => (c(0), FieldStats(c(1), c(2).toLong, java.lang.Double.parseDouble(c(3)), c(4).toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+
+  /** Upsert one generation's rows into the sidecar. A pre-round-6 dir
+    * (parquet generations, no sidecar) is seeded first by folding the
+    * parquet ONCE under a `legacy` key — including the pre-sumDl per-row
+    * reconstruction [[readFieldStats]] performs — so mixed stores keep the
+    * exact openMerged fold. Idempotent per gen key (a replayed batch
+    * overwrites its own rows with identical values).
+    */
+  private[graft] def updateFieldStatsGen(
+      spark: SparkSession, dir: String, gen: String, rows: Seq[FieldStats]): Unit = {
+    val existing = readFieldStatsGens(dir).orElse {
+      if (!Files.exists(Paths.get(s"$dir/fieldstats"))) None
+      else Some(Map("legacy" -> readFieldStats(spark, s"$dir/fieldstats").collect().toSeq
+        .map(r => FieldStats(r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))))
+    }.getOrElse(Map.empty)
+    writeFieldStatsGens(dir, existing + (gen -> rows))
+  }
+
+  /** Lineage rows as a TSV sidecar (accumulator output — driver data). */
+  private def lineageTsvPath(dir: String) = Paths.get(s"$dir/lineage/lineage.tsv")
+
+  private[graft] def writeLineage(dir: String, rows: Seq[LineageRow]): Unit =
+    writeTsv(lineageTsvPath(dir),
+      rows.map(r => s"${escTsv(r.stage)}\t${r.pid}\t${r.rowsIn}\t${r.rowsOut}\t${r.bytesOut}"))
+
+  def readLineage(dir: String): Seq[LineageRow] =
+    if (!Files.exists(lineageTsvPath(dir))) Nil
+    else readTsv(lineageTsvPath(dir))
+      .map(c => LineageRow(c(0), c(1).toInt, c(2).toLong, c(3).toLong, c(4).toLong))
 
   // ---- shard spec (docsPerShard) ---------------------------------------
   // Persisted so readers can route a docId to its shard without scanning
@@ -203,8 +307,7 @@ object SegmentStore {
           import scala.jdk.CollectionConverters._
           Some(foldMarkerStats(mkAcc.value.asScala.toSeq))
         }
-        spark.createDataset(rows)
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/lineage")
+        writeLineage(dir, rows) // accumulator output — driver write, no job
         commitStage(dir, "segments",
           Map("segmentRows" -> rows.map(_.rowsOut).sum, "postingBytes" -> rows.map(_.bytesOut).sum,
             "postingsIn" -> rows.map(_.rowsIn).sum))
@@ -236,8 +339,7 @@ object SegmentStore {
               sum(col("cf")).as("sumDl"))
             .as[FieldStats].collect().toIndexedSeq
         }
-        spark.createDataset(fsRows)
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
+        writeFieldStatsGens(dir, Map("base" -> fsRows)) // driver write, no job
         fieldStatsMem = Some(fsRows)
         commitStage(dir, "stats",
           Map("docCount" -> fsRows.map(_.docCount).maxOption.getOrElse(0L)))
@@ -302,16 +404,20 @@ object SegmentStore {
 
   private def open0Fields(spark: SparkSession, dir: String): Seq[FieldDef] = {
     import spark.implicits._
-    spark.read.schema(SpecSchema).parquet(s"$dir/spec")
-      .select(col("indexField"), col("source"), col("kind"), col("analyzer"),
-        coalesce(col("boost"), lit(1.0)).as("boost"))
-      .as[(String, String, String, String, Double)].collect()
-      .map { case (idxF, src, kind, an, boost) =>
-        FieldDef(idxF, src, kind match {
-          case "text" => TextField(Analyzers.byName(an))
-          case "string" => StringField
-        }, boost)
-      }.toSeq
+    def mk(idxF: String, src: String, kind: String, an: String, boost: Double): FieldDef =
+      FieldDef(idxF, src, kind match {
+        case "text" => TextField(Analyzers.byName(an))
+        case "string" => StringField
+      }, boost)
+    // sidecar first (driver read, no job); parquet fallback for old dirs
+    if (Files.exists(specTsvPath(dir)))
+      readTsv(specTsvPath(dir)).map(c => mk(c(0), c(1), c(2), c(3), c(4).toDouble))
+    else
+      spark.read.schema(SpecSchema).parquet(s"$dir/spec")
+        .select(col("indexField"), col("source"), col("kind"), col("analyzer"),
+          coalesce(col("boost"), lit(1.0)).as("boost"))
+        .as[(String, String, String, String, Double)].collect()
+        .map { case (idxF, src, kind, an, boost) => mk(idxF, src, kind, an, boost) }.toSeq
   }
 
   /** Commit the index field spec (queryable name, source column, kind,
@@ -319,15 +425,17 @@ object SegmentStore {
     * analyzers. Shared by the batch build and the incremental appender.
     */
   def writeSpec(spark: SparkSession, dir: String, fields: Seq[FieldDef]): Unit = {
-    import spark.implicits._
-    fields.map(f => (f.indexField, f.source, f.kind match {
-      case TextField(_) => "text"
-      case StringField => "string"
-    }, f.kind match {
-      case TextField(a) => analyzerName(a)
-      case StringField => ""
-    }, f.boost)).toDF("indexField", "source", "kind", "analyzer", "boost")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/spec")
+    // driver-side sidecar write (round 6): the spec is #fields rows of
+    // in-memory data — the old coalesce(1) parquet write scheduled a whole
+    // Spark job (plus a plan cycle) per build/append to persist a kilobyte
+    writeTsv(specTsvPath(dir), fields.map { f =>
+      val (kind, an) = f.kind match {
+        case TextField(a) => ("text", analyzerName(a))
+        case StringField => ("string", "")
+      }
+      s"${escTsv(f.indexField)}\t${escTsv(f.source)}\t$kind\t${escTsv(an)}\t" +
+        java.lang.Double.toString(f.boost)
+    })
     Files.createDirectories(specDigestPath(dir).getParent)
     Files.writeString(specDigestPath(dir), specDigest(fields))
     commitStage(dir, "spec", Map("fields" -> fields.size.toLong))
@@ -612,15 +720,24 @@ object SegmentStore {
     // spec carries over; stats recomputed post-expunge
     java.nio.file.Files.createDirectories(Paths.get(outDir))
     writeShardSpec(outDir, dps)
-    // spec carries over VERBATIM — a byte-level file copy (round 6): the
+    // spec carries over VERBATIM — byte-level file copies (round 6): the
     // old read→rewrite through Spark was a whole job to reproduce a
-    // kilobyte parquet file the source dir already holds
+    // kilobyte file the source dir already holds. The sidecar TSV is the
+    // primary form; a pre-round-6 source additionally carries the spec
+    // parquet, copied as-is so the optimized dir opens under either path.
+    if (Files.exists(specTsvPath(dir))) {
+      Files.createDirectories(specTsvPath(outDir).getParent)
+      Files.copy(specTsvPath(dir), specTsvPath(outDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     deleteRecursively(s"$outDir/spec")
-    Files.createDirectories(Paths.get(s"$outDir/spec"))
-    scala.util.Using.resource(Files.list(Paths.get(s"$dir/spec")))(_.forEach { p =>
-      if (p.getFileName.toString.endsWith(".parquet"))
-        Files.copy(p, Paths.get(s"$outDir/spec").resolve(p.getFileName))
-    })
+    if (Files.exists(Paths.get(s"$dir/spec"))) {
+      Files.createDirectories(Paths.get(s"$outDir/spec"))
+      scala.util.Using.resource(Files.list(Paths.get(s"$dir/spec")))(_.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, Paths.get(s"$outDir/spec").resolve(p.getFileName))
+      })
+    }
     if (Files.exists(specDigestPath(dir))) {
       Files.createDirectories(specDigestPath(outDir).getParent)
       Files.copy(specDigestPath(dir), specDigestPath(outDir),
@@ -671,8 +788,7 @@ object SegmentStore {
       import scala.jdk.CollectionConverters._
       foldMarkerStats(mkAcc.value.asScala.toSeq)
     }
-    spark.createDataset(fsRows)
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/fieldstats")
+    writeFieldStatsGens(outDir, Map("base" -> fsRows)) // driver write, no job
     commitStage(outDir, "stats", Map.empty)
   }
 
@@ -694,17 +810,31 @@ object SegmentStore {
     val subs = Seq("spec", "termstats", "fieldstats", "segments") ++
       (if (Files.exists(Paths.get(s"$staging/stored"))) Seq("stored") else Nil)
     subs.foreach { sub =>
+      // spec/fieldstats live in the checkpoint sidecars since round 6, so
+      // their staged parquet dirs exist only when the SOURCE was an old
+      // store; the stale live dir is dropped either way (the swapped-in
+      // sidecar is authoritative)
       deleteRecursively(s"$dir/$sub")
-      Files.move(Paths.get(s"$staging/$sub"), Paths.get(s"$dir/$sub"))
-      // `_cleanup` hygiene: drop the Hadoop commit side-files (`_SUCCESS`,
-      // `.crc`) from the swapped-in dirs — generation promotion only ever
-      // moves `*.parquet`, and these markers are per-write artifacts, not
-      // index data; leaving them made the "cleanup shrinks the dir"
-      // observable depend on how many part files the writes happened to emit
-      scala.util.Using.resource(Files.list(Paths.get(s"$dir/$sub")))(_.forEach { p =>
-        val n = p.getFileName.toString
-        if (!n.endsWith(".parquet")) Files.delete(p)
-      })
+      if (Files.exists(Paths.get(s"$staging/$sub"))) {
+        Files.move(Paths.get(s"$staging/$sub"), Paths.get(s"$dir/$sub"))
+        // `_cleanup` hygiene: drop the Hadoop commit side-files (`_SUCCESS`,
+        // `.crc`) from the swapped-in dirs — generation promotion only ever
+        // moves `*.parquet`, and these markers are per-write artifacts, not
+        // index data; leaving them made the "cleanup shrinks the dir"
+        // observable depend on how many part files the writes happened to emit
+        scala.util.Using.resource(Files.list(Paths.get(s"$dir/$sub")))(_.forEach { p =>
+          val n = p.getFileName.toString
+          if (!n.endsWith(".parquet")) Files.delete(p)
+        })
+      }
+    }
+    // promote the staged metadata sidecars over the live ones
+    Seq(specTsvPath _, specDigestPath _, fieldStatsTsvPath _).foreach { pathOf =>
+      if (Files.exists(pathOf(staging))) {
+        Files.createDirectories(pathOf(dir).getParent)
+        Files.move(pathOf(staging), pathOf(dir),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     // compact the upsert key map (if any): drop rows whose docIds the
     // optimize just expunged, BEFORE clearing the tombstone log
@@ -854,7 +984,11 @@ object SegmentStore {
     // boost entered the spec in round 2 — a round-1 (4-column) dir still
     // opens, defaulting boost to 1.0 (ADVICE r2: no opaque encoder error)
     val fields = open0Fields(spark, dir)
-    val fsRows = readFieldStats(spark, s"$dir/fieldstats").as[FieldStats].collect().toSeq
+    // sidecar first (driver read, no job); parquet fallback for old dirs
+    val fsRows = readFieldStatsGens(dir) match {
+      case Some(gens) => gens.toSeq.sortBy(_._1).flatMap(_._2)
+      case None => readFieldStats(spark, s"$dir/fieldstats").as[FieldStats].collect().toSeq
+    }
     val stored =
       if (Files.exists(Paths.get(s"$dir/stored"))) Some(spark.read.parquet(s"$dir/stored"))
       else None

@@ -38,6 +38,10 @@ object IncrementalDedup {
 
   final case class Meta(lastBatch: Long)
 
+  /** The digest store's fixed schema (what [[dedupBatch]] writes). */
+  val DigestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL("content_md5 STRING, doc_id BIGINT")
+
   private def metaPath(dir: String) = Paths.get(s"$dir/checkpoints/dedup.json")
 
   def readMeta(dir: String): Meta = {
@@ -90,18 +94,27 @@ object IncrementalDedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("content_md5")).orderBy(col(idCol).cast("long"))))
       .filter(col("rn") === 1).drop("rn")
-    // against history: drop content whose digest any earlier batch accepted
+    // against history: drop content whose digest any earlier batch accepted.
+    // Digest-store schema pinned (round 6): it is fixed by this object's own
+    // write below, and a schemaless read ran a footer-inference job per
+    // micro-batch over an ever-growing generation dir
     val survivors =
       if (hasParquet(s"$dir/digests")) {
-        val seen = spark.read.parquet(s"$dir/digests").select(col("content_md5"))
+        val seen = spark.read.schema(DigestSchema).parquet(s"$dir/digests")
+          .select(col("content_md5"))
         batchUnique.join(seen, Seq("content_md5"), "left_anti")
       } else batchUnique
 
     val staging = s"$dir/staging/gen-$batchId"
     survivors.write.mode(SaveMode.Overwrite).parquet(s"$staging/clean")
     // digests are derived from the STAGED survivors so the two generations
-    // can never disagree under a mid-write crash + replay
-    spark.read.parquet(s"$staging/clean")
+    // can never disagree under a mid-write crash + replay. Schema pinned
+    // from the batch (round 6): staged clean is exactly the batch's columns
+    // plus the appended digest — inference was another per-batch job
+    val stagedSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.fields :+
+        org.apache.spark.sql.types.StructField("content_md5", org.apache.spark.sql.types.StringType))
+    spark.read.schema(stagedSchema).parquet(s"$staging/clean")
       .select(col("content_md5"), col(idCol).cast("long").as("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/digests")
     Seq("clean", "digests").foreach { sub =>

@@ -130,8 +130,6 @@ object IncrementalIndexer {
         .as[TermStats]
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
       val fsRows = SegmentStore.foldMarkerStatsPublic(mkAcc)
-      spark.createDataset(fsRows)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/fieldstats")
       // key→docId map rides along as its own generation: the MERGE/upsert
       // path joins incoming keys against it to find superseded docIds
       withIds.select((orderCols.map(org.apache.spark.sql.functions.col) :+ col("docId")): _*)
@@ -145,11 +143,17 @@ object IncrementalIndexer {
           .write.mode(SaveMode.Overwrite).parquet(s"$staging/stored")
       }
       // promote: idempotent move under stable names, then delete staging
-      val subs = Seq("termstats", "fieldstats", "segments", "keys") ++
+      val subs = Seq("termstats", "segments", "keys") ++
         (if (storedColumns.nonEmpty) Seq("stored") else Nil)
       subs.foreach { sub =>
         promoteGeneration(s"$staging/$sub", s"$dir/$sub", s"gen$batchId")
       }
+      // this generation's field stats land in the driver-side sidecar
+      // (round 6 — the old per-batch coalesce(1) parquet write + promote was
+      // a whole Spark job per micro-batch for #fields rows). Idempotent per
+      // gen key, and still BEFORE writeMeta: a crash window replays the
+      // batch, which overwrites the same key with identical rows.
+      SegmentStore.updateFieldStatsGen(spark, dir, s"gen$batchId", fsRows)
       SegmentStore.deleteRecursively(staging)
     }
     withIds.unpersist(blocking = false)
@@ -196,7 +200,13 @@ object IncrementalIndexer {
     if (batchId <= meta.lastBatch) return
     val spark = batch.sparkSession
     if (Files.exists(Paths.get(s"$dir/keys"))) {
-      val stale = spark.read.parquet(s"$dir/keys")
+      // keys schema pinned from the batch (round 6): the map holds exactly
+      // the key columns as the writer's batches typed them plus the long
+      // docId — a schemaless read ran a footer-inference job per micro-batch
+      val keySchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(k => batch.schema(k)) :+
+          org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType))
+      val stale = spark.read.schema(keySchema).parquet(s"$dir/keys")
         .join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
         .select(col("docId"))
       stale.write.mode(SaveMode.Append).parquet(s"$dir/tombstones")

@@ -220,7 +220,7 @@ class SegmentSpec extends SparkSpec {
   test("per-partition lineage rows with row/term/byte metrics exist and reconcile") {
     import spark.implicits._
     segIndex // force build
-    val lineage = spark.read.parquet(s"$tmp/lineage").as[LineageRow].collect()
+    val lineage = SegmentStore.readLineage(tmp.toString)
     assert(lineage.nonEmpty)
     assert(lineage.forall(_.stage == "segments"))
     assert(lineage.forall(l => l.rowsIn > 0 && l.rowsOut > 0 && l.bytesOut > 0))

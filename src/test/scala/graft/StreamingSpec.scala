@@ -79,12 +79,15 @@ class StreamingSpec extends SparkSpec {
   test("pre-sumDl fieldstats generations still open and fold exactly (round-5 schema compat)") {
     val dir = Files.createTempDirectory("graft-legacy-fs").toString
     IncrementalIndexer.appendBatch(turnsDF(0, 40), 0L, dir, Seq("conv_id", "turn_idx"), fields, 257)
-    // rewrite generation 0's fieldstats WITHOUT sumDl — a store written
-    // before the column entered the schema
-    val legacy = spark.read.parquet(s"$dir/fieldstats").drop("sumDl").collect()
-    val legacySchema = spark.read.parquet(s"$dir/fieldstats").drop("sumDl").schema
+    // rewrite generation 0's fieldstats as a PARQUET table WITHOUT sumDl —
+    // a store written before the column entered the schema (round 5), which
+    // also predates the round-6 fieldstats sidecar: delete the sidecar too,
+    // so the open exercises the legacy parquet path end-to-end
+    val gen0 = SegmentStore.open(spark, dir).fieldStats.values.toSeq
+      .map(fs => (fs.field, fs.docCount, fs.avgdl))
     SegmentStore.deleteRecursively(s"$dir/fieldstats")
-    spark.createDataFrame(java.util.Arrays.asList(legacy: _*), legacySchema)
+    Files.deleteIfExists(SegmentStore.fieldStatsTsvPath(dir))
+    spark.createDataFrame(gen0).toDF("field", "docCount", "avgdl")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/fieldstats")
     // a post-upgrade generation lands next to it (mixed-schema store)
     IncrementalIndexer.appendBatch(turnsDF(40, 80), 1L, dir, Seq("conv_id", "turn_idx"), fields, 257)
