@@ -30,8 +30,11 @@ object Decontam {
     docs.select(col(idCol).cast("long").as("doc_id"),
         Dedup.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(transform(Dedup.shinglesOf(col("toks"), w),
-          s => Dedup.hash64(s)))).as("shash"))
+        // native per-shingle hash64 (round 6): one fused loop per row — the
+        // interpreted `transform(…, s => Dedup.hash64(s))` re-derived md5
+        // through a fresh MessageDigest + hex parse per shingle
+        explode(array_distinct(Kernels.hashArray(
+          Dedup.shinglesOf(col("toks"), w), 15))).as("shash"))
 
   /** Per-document contamination hits: the number of distinct word-w-gram
     * shingles a corpus document shares with the UNION of all benchmark

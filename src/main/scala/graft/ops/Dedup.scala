@@ -31,28 +31,26 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Raw token array (lowercased alphanumeric runs) — dedup uses unfiltered
-    * tokens (no stop removal), unlike the search index.
+    * tokens (no stop removal), unlike the search index. Native codegen'd
+    * run-scan over Spark's own `lower` (round 6): the old
+    * `filter(split(...))` pair ran a regex split plus an interpreted
+    * higher-order lambda per row ([[graft.functions.TextKernels.alnumRuns]]
+    * computes the identical array).
     */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  def tokens(text: Column): Column = Kernels.alnumRuns(lower(text))
 
   /** Word w-shingles of a token-array column as space-joined strings.
     *
-    * Formulated as `zip_with` over `slice`-shifted copies of the array —
-    * the array expression appears only w times total per row (not once per
-    * element), so the cost is O(w · tokens) even if Catalyst's
-    * CollapseProject inlines the token expression. The previous
-    * `transform(sequence(...), i => element_at(toks, i+j))` shape
-    * re-evaluated the full tokenize per element inside interpreted
-    * higher-order lambdas — O(tokens²) per row and 94% of the round-1 bench.
+    * Native codegen'd kernel (round 6): one loop per row emitting the
+    * space-joined w-grams ([[graft.functions.TextKernels.shingles]]). The
+    * round-1→5 history of this expression: `transform(sequence(...))` was
+    * O(tokens²) interpreted (94% of the round-1 bench); the round-2
+    * `zip_with`-of-`slice`s chain cut it to O(w · tokens) but stayed inside
+    * interpreted HOF evaluation with w array copies per row — the kernel is
+    * the same O(w · tokens) with zero intermediate arrays, inside
+    * whole-stage codegen.
     */
-  def shinglesOf(toks: Column, w: Int = 3): Column = {
-    val cnt = size(toks) - (w - 1)
-    val shifted = (0 until w).map(j => slice(toks, lit(j + 1), cnt))
-    when(size(toks) >= w,
-      shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesOf(toks: Column, w: Int = 3): Column = Kernels.shingles(toks, w)
 
   def shingles(text: Column, w: Int = 3): Column = shinglesOf(tokens(text), w)
 
@@ -92,9 +90,15 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shinglesOf(col("toks")).as("sh"))
-    val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("sh"), s => hash64(concat(s, lit(s"#$i"))))).as(s"h$i"))
-    sh.select(col("doc_id") +: mins: _*)
+    // ONE fused pass computes every band's min (round 6): the old shape ran
+    // numHashes interpreted `transform`s — numHashes full walks of the
+    // shingle array per row, each re-deriving md5 through a fresh
+    // MessageDigest and a hex-string parse. `mh` is materialized in its own
+    // projection so the h_i extractions reference an attribute (the same
+    // CollapseProject discipline as `sh`).
+    val mh = sh.select(col("doc_id"), Kernels.minhash(col("sh"), numHashes).as("mh"))
+    mh.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*)
   }
 
   /** LSH band-bucket candidate pairs over minhash signatures, with the
@@ -196,16 +200,14 @@ object Dedup {
     * order-independent so the fold equals the group-sum bit-for-bit.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    // fused kernels (round 6): hash32 per distinct token in one native loop
+    // (was an interpreted `transform` re-deriving md5 per element), then ONE
+    // pass folding all `bits` sign-sums (was `bits` interpreted `aggregate`
+    // walks of the hash array per row)
     val hs = docs.select(col(idCol).cast("long").as("doc_id"),
-        transform(array_distinct(tokens(col(textCol))),
-          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")).as("hs"))
+        Kernels.hashArray(array_distinct(tokens(col(textCol))), 8).as("hs"))
       .filter(size(col("hs")) > 0)
-    val fp = (0 until bits).map { j =>
-      val bsum = aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bsum > 0, lit(1L) * (1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    hs.select(col("doc_id"), fp.as("simhash"))
+    hs.select(col("doc_id"), Kernels.simhashFold(col("hs"), bits).as("simhash"))
   }
 
   /** Top-k most similar pairs by word-3-gram Jaccard. Candidate generation

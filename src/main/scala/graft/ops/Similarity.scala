@@ -18,6 +18,21 @@ object Similarity {
         org.apache.spark.sql.GraftColumn.expression(a),
         org.apache.spark.sql.GraftColumn.expression(b), l2))
 
+  /** A literal double-array as ONE Literal node (round 6). The old
+    * `array(xs.map(lit): _*)` built a CreateArray over |xs| child literals —
+    * for 64-dim centroids × nCentroids argmin alternatives that is a
+    * ~512-node subtree the analyzer/optimizer re-walks on EVERY Lloyd
+    * iteration's job (and the generated code re-materializes per row).
+    * ConstantFolding collapses the old shape to exactly this literal, so
+    * values are identical; building it directly skips the tree tax.
+    */
+  private def litArray(xs: Seq[Double]): Column =
+    org.apache.spark.sql.GraftColumn.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        xs.toArray,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)))
+
   /** Σ aᵢbᵢ in index order (deterministic summation). Native codegen'd
     * expression (round 6) — the `aggregate(zip_with(...))` formulation is
     * CodegenFallback, an interpreted lambda per element per row; the fold
@@ -133,7 +148,7 @@ object Similarity {
 
   /** Σ(x−y)² of a vector column against a literal centroid (index-order fold). */
   private def l2sqLit(v: Column, ce: Seq[Double]): Column =
-    l2sq(v, array(ce.map(lit): _*))
+    l2sq(v, litArray(ce))
 
   /** Narrow cell assignment: argmin over literal centroids (ties → lowest
     * cid) via `array_min` over (dist, cid) structs — struct ordering IS the
@@ -164,7 +179,7 @@ object Similarity {
   private def probeTopK(cand: DataFrame, qvec: IndexedSeq[Double], queryId: Long, k: Int): DataFrame =
     cand.filter(col("vid") =!= queryId)
       .select(col("vid").as("vec_id"),
-        round(cosine(col("v"), array(qvec.map(lit): _*)), 4).as("cos_r"))
+        round(cosine(col("v"), litArray(qvec)), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id").asc)
       .limit(k)
 

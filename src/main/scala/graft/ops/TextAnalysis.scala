@@ -13,8 +13,11 @@ object TextAnalysis {
 
   private val enStops: Seq[String] = Analyzers.EnglishStopWords.toSeq.sorted
 
-  def rawTokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  /** Native codegen'd run-scan over Spark's own `lower` (round 6) — the old
+    * `filter(split(...))` regex + interpreted-lambda pair; identical array
+    * ([[graft.functions.TextKernels.alnumRuns]]).
+    */
+  def rawTokens(text: Column): Column = Kernels.alnumRuns(lower(text))
 
   /** n-gram-heuristic language ID: ratio of tokens hitting the English
     * function-word list; `en` above threshold, `und` otherwise. (The corpus
@@ -26,7 +29,10 @@ object TextAnalysis {
     // (round 6): inline, CollapseProject substituted the tokenize expression
     // into each reference and the ratio into both output columns
     val toks = col("toks")
-    val hits = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
+    // native stop-hit count (round 6): `size(filter(t.isin(...)))` walked
+    // the array through an interpreted lambda evaluating a ~30-literal In
+    // per element; the kernel is one loop over a prebuilt hash set
+    val hits = Kernels.countIn(toks, enStops).cast("double")
     // arithmetic floor rounding (not round()): the ratio is an exact
     // rational that can land on the grid — same hardening as quality()
     val ratio = floor(hits / greatest(size(toks), lit(1)).cast("double") * 1000000.0 + 0.5) / 1000000.0
@@ -52,7 +58,7 @@ object TextAnalysis {
   def qualityColOf(toks: Column): Column = {
     val n = size(toks).cast("double")
     val nz = greatest(size(toks), lit(1)).cast("double")
-    val stops = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
+    val stops = Kernels.countIn(toks, enStops).cast("double") // see langId
     val uniq = size(array_distinct(toks)).cast("double")
     val score = (lit(4.0) * least(n, lit(100.0)) * nz +
       lit(300.0) * (nz - stops) + lit(300.0) * uniq) / (lit(1000.0) * nz)
@@ -67,8 +73,10 @@ object TextAnalysis {
     val toks = col("toks") // materialized below — see langId
     val n = size(toks).cast("double")
     val nz = greatest(size(toks), lit(1)).cast("double")
-    val meanLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nz
-    val stops = size(filter(toks, t => t.isin(enStops: _*))).cast("double")
+    // native kernels (round 6): the length fold and stop-hit count each
+    // walked the array through an interpreted HOF lambda per row
+    val meanLen = Kernels.sumLen(toks) / nz
+    val stops = Kernels.countIn(toks, enStops).cast("double")
     val stopRatio = stops / nz
     val uniq = size(array_distinct(toks)).cast("double")
     val ttr = uniq / nz
