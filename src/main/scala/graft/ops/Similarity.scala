@@ -129,14 +129,22 @@ object Similarity {
     emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
 
-  /** Collect a (≤ nCentroids)-row centroid frame as (cid, components-as-double),
-    * sorted by cid. Bounded driver collect, never corpus-sized.
+  /** The seed codebook (sorted by cid) AND the query vector off ONE bounded
+    * (≤ nCentroids + 1 row) collect — round 6: every IVF op needed both and
+    * paid two separately-scheduled scan jobs. The filter is the union of
+    * the two old ones, the double-cast transform identical, and a query
+    * vector that is itself a seed centroid is served from the same row both
+    * ways. None when the query id is absent: callers return an empty
+    * result, matching the old empty-broadcast-crossJoin behavior.
     */
-  private def collectCentroids(cent: DataFrame): Seq[(Long, IndexedSeq[Double])] =
-    cent.select(col("cid"), transform(col("ce"), x => x.cast("double")).as("ce"))
+  private def collectCentroidsAndQuery(e: DataFrame, nCentroids: Int, queryId: Long)
+      : (Seq[(Long, IndexedSeq[Double])], Option[IndexedSeq[Double]]) = {
+    val rows = e.filter(col("vid") < nCentroids || col("vid") === queryId)
+      .select(col("vid"), transform(col("v"), x => x.cast("double")).as("vd"))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-      .sortBy(_._1)
+    (rows.filter(_._1 < nCentroids).sortBy(_._1), rows.find(_._1 == queryId).map(_._2))
+  }
 
   /** Driver-side Σ(x−y)² with the exact fold order of [[l2sq]]. */
   private def l2sqDriver(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
@@ -158,15 +166,6 @@ object Similarity {
     e.withColumn("cid", array_min(array(cents.map { case (cid, ce) =>
       struct(l2sqLit(col("v"), ce).as("dist"), lit(cid).as("cid"))
     }: _*)).getField("cid"))
-
-  /** The query vector (as doubles) — one bounded driver collect. None when
-    * the id is absent: callers return an empty result, matching the old
-    * empty-broadcast-crossJoin behavior.
-    */
-  private def queryVec(e: DataFrame, queryId: Long): Option[IndexedSeq[Double]] =
-    e.filter(col("vid") === queryId)
-      .select(transform(col("v"), x => x.cast("double")))
-      .collect().headOption.map(_.getSeq[Double](0).toIndexedSeq)
 
   /** Empty (vec_id, cos_r) frame — the no-query / no-codebook result. */
   private def emptyTopK(e: DataFrame): DataFrame =
@@ -194,9 +193,8 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8): DataFrame = {
     val e = ivfInput(emb, idCol, vecCol)
-    val cents = collectCentroids(
-      e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
-    queryVec(e, queryId).filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
+    val (cents, qvecOpt) = collectCentroidsAndQuery(e, nCentroids, queryId)
+    qvecOpt.filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
       val qcid = cents.minBy { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }._1
       probeTopK(assignLit(e, cents).filter(col("cid") === qcid), qvec, queryId, k)
     }
@@ -212,9 +210,8 @@ object Similarity {
   def ivfProbeTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8, nprobe: Int = 3): DataFrame = {
     val e = ivfInput(emb, idCol, vecCol)
-    val cents = collectCentroids(
-      e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
-    queryVec(e, queryId).filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
+    val (cents, qvecOpt) = collectCentroidsAndQuery(e, nCentroids, queryId)
+    qvecOpt.filter(_ => cents.nonEmpty).fold(emptyTopK(e)) { qvec =>
       val qcids = cents.map { case (cid, ce) => (l2sqDriver(qvec, ce), cid) }
         .sorted.take(nprobe).map(_._2)
       probeTopK(assignLit(e, cents).filter(col("cid").isin(qcids: _*)), qvec, queryId, k)
@@ -235,19 +232,24 @@ object Similarity {
   def ivfTrainedTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int = 10, nCentroids: Int = 8, iters: Int = 2): DataFrame = {
     val e = ivfInput(emb, idCol, vecCol)
-    var cents = collectCentroids(
-      e.filter(col("vid") < nCentroids).select(col("vid").as("cid"), col("v").as("ce")))
-    val qvecOpt = queryVec(e, queryId).filter(_ => cents.nonEmpty)
+    var (cents, qvecOpt0) = collectCentroidsAndQuery(e, nCentroids, queryId)
+    val qvecOpt = qvecOpt0.filter(_ => cents.nonEmpty)
     if (qvecOpt.isEmpty) return emptyTopK(e)
     for (_ <- 0 until iters) {
+      // collect the ≤ nCentroids×dim (cid, i, mean) rows and assemble the
+      // per-cid vectors on the driver (round 6): the second groupBy —
+      // array_sort(collect_list(struct)) — was a whole extra exchange per
+      // Lloyd iteration just to concatenate a bounded row set; sorting by i
+      // driver-side is the identical assembly, and `avg` is untouched so
+      // the centroid doubles are bit-identical
       val means = assignLit(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i")).agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          s => s.getField("m")).as("me"))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+        }
       cents = cents.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
     }
     val qvec = qvecOpt.get
