@@ -358,13 +358,17 @@ object OpsOracle {
     * zero WHEN branches).
     */
   private def splitCase(fractions: Seq[(String, Double)]): String = {
+    // SQL-escape the label (ADVICE r5): a quote in a label name would emit
+    // broken oracle SQL; doubling is a no-op for every label used by the
+    // gates, so their SQL text is byte-identical
+    def q(name: String): String = s"'${name.replace("'", "''")}'"
     val cuts = fractions.map(_._2)
       .scanLeft(0L)((acc, f) => acc + graft.ops.Sampling.threshold(f)).tail
     val whens = fractions.init.zip(cuts.init).map { case ((name, _), cut) =>
-      s"WHEN bucket < $cut THEN '$name'"
+      s"WHEN bucket < $cut THEN ${q(name)}"
     }
-    if (whens.isEmpty) s"'${fractions.last._1}'"
-    else s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"
+    if (whens.isEmpty) q(fractions.last._1)
+    else s"CASE ${whens.mkString(" ")} ELSE ${q(fractions.last._1)} END"
   }
 
   /** Train/val/test split by cumulative bucket cuts. */

@@ -382,9 +382,14 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     // training-data pipeline: sequence shaping + boilerplate analysis
     "op_chunk" -> ((s, d) => graft.ops.Chunking.chunk(docsTable(s, d), "doc_id", "text")),
-    "op_pack" -> ((s, d) => graft.ops.Chunking.pack(docsTable(s, d), "doc_id", "text")),
+    // numBuckets pinned to the oracle's 32 (round 6): the operator default
+    // now derives from the session so production packing parallelism scales
+    // with the cluster — the gate's OUTPUT stays the deterministic 32-bucket
+    // assignment both engines have always computed
+    "op_pack" -> ((s, d) =>
+      graft.ops.Chunking.pack(docsTable(s, d), "doc_id", "text", numBuckets = 32)),
     "op_chunk_pack" -> ((s, d) =>
-      graft.ops.Chunking.chunkPack(docsTable(s, d), "doc_id", "text")),
+      graft.ops.Chunking.chunkPack(docsTable(s, d), "doc_id", "text", numBuckets = 32)),
     "op_boilerplate" -> ((s, d) =>
       graft.ops.TextAnalysis.boilerplate(docsTable(s, d), "doc_id", "text")),
     "op_boilerplate_ratio" -> ((s, d) =>

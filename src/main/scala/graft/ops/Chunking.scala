@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Bucket count for [[pack]]/[[chunkPack]]. The old fixed default of 32
+    * was a footgun at corpus scale — 32 window tasks over the whole corpus
+    * (VERDICT r5) — so a non-positive `numBuckets` now derives the default
+    * from the session's shuffle parallelism (floored at 32), which scales
+    * with the cluster. NOTE: the (bucket, pack_id) assignment is a pure
+    * function of ids + salt ONLY for a fixed bucket count — pipelines that
+    * need cross-session-reproducible pack ids (the gated queries pass 32)
+    * must pin `numBuckets` explicitly.
+    */
+  private def resolveBuckets(docs: DataFrame, numBuckets: Int): Int = {
+    if (numBuckets > 0) numBuckets
+    else math.max(32, docs.sparkSession.sessionState.conf.numShufflePartitions)
+  }
+
   /** Overlapping fixed-size token windows per document: window `i` covers
     * tokens `[i·stride, i·stride + chunkSize)`; the last window may be
     * short. Emits (doc_id, chunk_id, chunk_text, n_tokens). Map-only.
@@ -66,12 +80,12 @@ object Chunking {
       idCol: String,
       textCol: String,
       budget: Long = 2048L,
-      numBuckets: Int = 32,
+      numBuckets: Int = -1,
       salt: String = "graft"): DataFrame = {
-    require(budget > 0 && numBuckets > 0, s"need positive budget/numBuckets")
+    val buckets = resolveBuckets(docs, numBuckets)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       pmod(Dedup.hash64(concat(col(idCol).cast("long").cast("string"), lit(":" + salt))),
-        lit(numBuckets.toLong)).as("bucket"),
+        lit(buckets.toLong)).as("bucket"),
       size(TextAnalysis.rawTokens(col(textCol))).cast("long").as("n_tokens"))
     // doc_id is unique within a bucket, so the default RANGE frame equals
     // ROWS and both engines see the same cumulative sums
@@ -98,14 +112,15 @@ object Chunking {
       chunkSize: Int = 32,
       stride: Int = 32,
       budget: Long = 2048L,
-      numBuckets: Int = 32,
+      numBuckets: Int = -1,
       salt: String = "graft"): DataFrame = {
     require(chunkSize <= budget, s"chunkSize $chunkSize must fit the budget $budget")
+    val buckets = resolveBuckets(docs, numBuckets)
     val ch = chunk(docs, idCol, textCol, chunkSize, stride)
     val key = concat(col("doc_id").cast("string"), lit(":"),
       col("chunk_id").cast("string"), lit(":" + salt))
     val base = ch.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
-      pmod(Dedup.hash64(key), lit(numBuckets.toLong)).as("bucket"))
+      pmod(Dedup.hash64(key), lit(buckets.toLong)).as("bucket"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"), col("chunk_id"))
     base.withColumn("pack_id",
       floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble))

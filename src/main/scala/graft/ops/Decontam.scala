@@ -61,9 +61,19 @@ object Decontam {
   }
 
   /** The clean corpus: documents with FEWER than `minHits` benchmark-shingle
-    * overlaps, as a broadcast anti-join against the contaminated id set —
-    * the id set is bounded by the benchmark's blast radius, not the corpus.
-    * Emits surviving doc ids (join back to the source for full rows).
+    * overlaps, as an anti-join against the contaminated id set. Emits
+    * surviving doc ids (join back to the source for full rows).
+    *
+    * `broadcastBad` (round 6, mirroring `TextAnalysis.tokenFrequency`'s
+    * `broadcastVocab`): the contaminated id set is bounded by the
+    * benchmark's blast radius, which for a clean eval suite is tiny — the
+    * default force-broadcasts it so the corpus side never shuffles. But
+    * hits are counted on ≥ `minHits` shared shingles, and a benchmark
+    * containing common phrasing can contaminate 0.1–1% of a web corpus —
+    * 10⁸⁺ ids at 10¹¹ docs, past any driver/broadcast limit, and a hard
+    * `broadcast()` hint is one AQE cannot demote. Pass false there: the
+    * anti-join shuffles (AQE picks the strategy), trading one corpus-side
+    * exchange for driver safety.
     */
   def decontaminate(
       docs: DataFrame,
@@ -73,10 +83,11 @@ object Decontam {
       benchIdCol: String,
       benchTextCol: String,
       w: Int = 3,
-      minHits: Int = 2): DataFrame = {
+      minHits: Int = 2,
+      broadcastBad: Boolean = true): DataFrame = {
     val bad = contaminationHits(docs, idCol, textCol, bench, benchIdCol, benchTextCol, w, minHits)
       .filter(col("contaminated")).select(col("doc_id"))
     docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      .join(if (broadcastBad) broadcast(bad) else bad, Seq("doc_id"), "left_anti")
   }
 }

@@ -61,15 +61,6 @@ object Sampling {
       .filter(col("bucket") < thr)
   }
 
-  /** Deterministic train/val/test split assignment: the hash bucket is cut
-    * at the cumulative fraction boundaries, so every row gets exactly one
-    * label, the assignment is reproducible in any engine, and re-running
-    * over a grown corpus never moves an existing row between splits (a
-    * row's bucket depends only on its id and the salt). Map-only.
-    *
-    * `fractions` are (label, fraction) in order; the LAST label absorbs any
-    * rounding remainder so the labels partition the bucket space exactly.
-    */
   /** The split label for a bucket column under `fractions`' cumulative
     * cuts — ONE kernel shared by [[splitAssign]] and [[Curate]] so the
     * label rule can never diverge between the standalone and composed ops.
@@ -82,6 +73,15 @@ object Sampling {
     }
   }
 
+  /** Deterministic train/val/test split assignment: the hash bucket is cut
+    * at the cumulative fraction boundaries, so every row gets exactly one
+    * label, the assignment is reproducible in any engine, and re-running
+    * over a grown corpus never moves an existing row between splits (a
+    * row's bucket depends only on its id and the salt). Map-only.
+    *
+    * `fractions` are (label, fraction) in order; the LAST label absorbs any
+    * rounding remainder so the labels partition the bucket space exactly.
+    */
   def splitAssign(
       docs: DataFrame,
       idCol: String,

@@ -149,6 +149,11 @@ object TextAnalysis {
     * broadcast (default); a raw web crawl's typo-ridden vocabulary can reach
     * 10⁸⁻⁹ terms — pass false there to let the term join shuffle (AQE picks
     * the strategy), trading one exchange for driver safety.
+    *
+    * PRECONDITION (shared with the whole file — see Dedup's header): one
+    * row per doc_id. The vocab df counts one hit per input ROW's distinct
+    * token set; with duplicated doc_id rows it would diverge from the
+    * documented per-DOCUMENT frequency (ADVICE r5).
     */
   def tokenFrequency(docs: DataFrame, idCol: String, textCol: String,
       broadcastVocab: Boolean = true): DataFrame = {

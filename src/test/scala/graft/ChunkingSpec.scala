@@ -80,6 +80,27 @@ class ChunkingSpec extends SparkSpec {
     assert(rows.map(_._3).sum == (0L until 60L).map(i => 5 + (i % 6) * 17).sum)
   }
 
+  test("explicit numBuckets output is invariant under the session's shuffle setting; default derives from it") {
+    val rows = (0L until 80L).map(i => (i, ("tok " * (1 + (i % 5).toInt)).trim))
+    def packed() = Chunking.pack(docsFixture(rows: _*), "doc_id", "text",
+      budget = 25L, numBuckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = packed()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(packed() == a, "explicit-bucket pack output moved with the session setting")
+      // derived default scales with the session but never below 32
+      val db = Chunking.pack(docsFixture(rows: _*), "doc_id", "text", budget = 25L)
+        .select(max(col("bucket"))).collect()(0).getLong(0)
+      assert(db < 32L, s"7-partition session must derive the 32-bucket floor, saw bucket $db")
+      spark.conf.set("spark.sql.shuffle.partitions", "130")
+      val db2 = Chunking.pack(docsFixture(rows: _*), "doc_id", "text", budget = 25L)
+        .select(max(col("bucket"))).collect()(0).getLong(0)
+      assert(db2 >= 32L, s"130-partition session should spread past 32 buckets, saw max bucket $db2")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("pack shuffles once, on the bucket key") {
     val d = docsFixture((0L until 10L).map(i => (i, "x y z")): _*)
     val plan = Chunking.pack(d, "doc_id", "text").queryExecution.executedPlan.toString

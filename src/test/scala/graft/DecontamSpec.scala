@@ -85,6 +85,29 @@ class DecontamSpec extends SparkSpec {
     assert(hits.head._2 == 3L, s"expected 3 distinct shared shingles, got ${hits.head._2}")
   }
 
+  test("decontaminate broadcastBad picks the anti-join strategy; results identical") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def clean(bc: Boolean) = Decontam.decontaminate(
+      d.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+      d.filter(col("doc_id") % 17 === 0), "doc_id", "text", broadcastBad = bc)
+    // default: the contaminated-id set is force-broadcast — the corpus side
+    // of the anti-join never shuffles
+    val bPlan = clean(true).queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin") && bPlan.contains("LeftAnti"), bPlan.take(3000))
+    // opt-out: the ANTI-JOIN carries no broadcast hint (the inner benchmark-
+    // shingle-set broadcast stays — that side really is tiny); the planner/
+    // AQE is free to shuffle the id anti-join when the blast radius is large
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      "broadcast".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    val optOut = clean(false)
+    assert(hintCount(clean(true)) == hintCount(optOut) + 1,
+      s"expected exactly the anti-join's own broadcast hint to disappear: " +
+        s"${hintCount(clean(true))} vs ${hintCount(optOut)}")
+    // same survivors either way
+    assert(clean(true).collect().map(_.getLong(0)).sorted.toSeq ==
+      optOut.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("benchmark side joins broadcast: no shuffle of corpus shingles into a sort-merge join") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Decontam.contaminationHits(

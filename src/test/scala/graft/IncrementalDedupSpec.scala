@@ -82,4 +82,9 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(clean.toSeq == Seq(1L, 2L, 4L))
   }
+
+  test("readClean on a store with no committed generation is an empty frame (VERDICT r5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup-empty").toString
+    assert(IncrementalDedup.readClean(spark, dir).count() == 0L)
+  }
 }
