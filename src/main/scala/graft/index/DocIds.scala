@@ -66,7 +66,14 @@ object DocIds {
     // sort re-runs for the second job. A persist here leaked executor memory
     // when called per micro-batch from IncrementalIndexer (never unpersisted;
     // the returned DataFrame's lifetime is unknowable at this layer).
-    val rdd = sorted.rdd
+    //
+    // InternalRow level (round 6): `sorted.rdd` deserializes every row to an
+    // external Row (UTF8String → String decode per text column) and
+    // `createDataFrame` re-encodes it — two conversions per corpus row in
+    // the build's FIRST pass just to append a long. `toRdd` keeps rows in
+    // Tungsten form; the assignment appends the id into a GenericInternalRow
+    // copy and the frame is rebuilt with no encoder round-trip.
+    val rdd = sorted.queryExecution.toRdd
     // Counting needs only the post-shuffle (pre-sort) rows: run the count
     // job on the exchange RDD *inside the same lineage* — the shuffle map
     // output is still written once (same ShuffleDependency instance), but
@@ -91,15 +98,24 @@ object DocIds {
     val bc = spark.sparkContext.broadcast(offsets)
 
     val outSchema = sorted.schema.add(docIdCol, LongType, nullable = false)
+    val fieldTypes = sorted.schema.fields.map(_.dataType)
+    val n = fieldTypes.length
     val assigned = rdd.mapPartitionsWithIndex { (pid, it) =>
       var next = bc.value(pid)
       it.map { row =>
-        val out = Row.fromSeq(row.toSeq :+ next)
+        // row.copy() first: the scan/sort iterator reuses its UnsafeRow
+        // buffer, and the appended row's values alias the copied buffer
+        val r = row.copy()
+        val vals = new Array[Any](n + 1)
+        var i = 0
+        while (i < n) { vals(i) = r.get(i, fieldTypes(i)); i += 1 }
+        vals(n) = next
         next += 1
-        out
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    (spark.createDataFrame(assigned, outSchema), acc)
+    (org.apache.spark.sql.GraftColumn.internalCreateDataFrame(spark, assigned, outSchema), acc)
   }
 
   /** Nearest shuffle-reading ancestor of `r` in its RDD lineage (the range
