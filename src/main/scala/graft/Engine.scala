@@ -29,6 +29,19 @@ object Engine {
 
   private val cache = scala.collection.concurrent.TrieMap[String, TextIndex]()
 
+  /** Per-path schema memo (same discipline as SparkEntry.readTable): every
+    * schemaless `spark.read.parquet` schedules a footer-inference job, and
+    * the index constructors re-read the same immutable corpus tables. The
+    * memo survives session restarts deliberately — a StructType is not bound
+    * to a session, and the driver contract fixes each path's schema.
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema))
+      .parquet(path)
+
   /** Drop all cached indexes (required between SparkSession restarts —
     * cached plans are bound to their session).
     */
@@ -42,7 +55,7 @@ object Engine {
 
   def documentsIndex(spark: SparkSession, sfDir: String): TextIndex =
     cache.getOrElseUpdate(sfDir, {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = readTable(spark, s"$sfDir/documents.parquet")
       IndexBuilder.build(docs, "doc_id", DocFields).cached()
     })
 
@@ -71,7 +84,7 @@ object Engine {
 
   def eventsIndex(spark: SparkSession, sfDir: String): TextIndex =
     evCache.getOrElseUpdate(sfDir, {
-      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = readTable(spark, s"$sfDir/events.parquet")
         .withColumn("day", date_trunc("day", col("ts")))
       IndexBuilder.build(ev, "event_id", EventFields).cached()
     })
@@ -102,7 +115,7 @@ object Engine {
   def segmentIndexDir(spark: SparkSession, sfDir: String): String =
     segDirCache.getOrElseUpdate(sfDir, {
       val dir = java.nio.file.Files.createTempDirectory("graft-segidx").toString
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = readTable(spark, s"$sfDir/documents.parquet")
       SegmentStore.build(docs, "doc_id", DocFields, dir, docsPerShard = 128,
         storedColumns = DocStoredColumns)
       dir

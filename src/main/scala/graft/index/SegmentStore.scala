@@ -308,7 +308,7 @@ object SegmentStore {
     // column-pruned (the doc-values shape); the envelope's sort keys and
     // include_fields join back against it. Skipped entirely when no columns
     // are requested.
-    if (storedColumns.nonEmpty && !stageDone(dir, "stored")) {
+    def runStored(): Unit =
       Timing.timed("build.stored") {
         // AQE-coalescible (no explicit count) — see the encodeSegments note;
         // also keeps output files near the advisory size instead of one
@@ -320,7 +320,16 @@ object SegmentStore {
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/stored")
         commitStage(dir, "stored", Map("columns" -> storedColumns.size.toLong))
       }
-    }
+    val needStored = storedColumns.nonEmpty && !stageDone(dir, "stored")
+    // The stored sidecar and the encode job are independent (both read only
+    // the source `docs`), so on the normal path they run CONCURRENTLY
+    // (guide §2.6 "overlap independent jobs"): the stored write back-fills
+    // executor capacity the encode's stage tails leave idle, instead of
+    // serializing a whole extra corpus-scan job ahead of it. The failpoint
+    // path keeps the legacy sequential order so the kill-between-stages
+    // resume tests exercise the exact stage boundaries they name.
+    val overlapStored = needStored && failAfterStage.isEmpty && !stageDone(dir, "segments")
+    if (needStored && !overlapStored) runStored()
     failpoint("stored")
 
     // ONE corpus-scale job: tokenize → shard shuffle → encode → write.
@@ -336,7 +345,12 @@ object SegmentStore {
     // stats stage then writes field stats with NO read-back aggregation;
     // the read-back fold below stays as the resume path only
     var markerStatsMem: Option[IndexedSeq[FieldStats]] = None
-    if (needSegments) {
+    val storedPool =
+      if (overlapStored) Some(java.util.concurrent.Executors.newFixedThreadPool(1)) else None
+    val storedFut = storedPool.map { p =>
+      scala.concurrent.Future(runStored())(scala.concurrent.ExecutionContext.fromExecutor(p))
+    }
+    if (needSegments) try {
       Timing.timed("build.encode") {
         // dl-marker rows are NOT shipped through the shuffle (round 5): the
         // encode tasks reconstruct each (shard, field)'s marker from the
@@ -370,6 +384,14 @@ object SegmentStore {
         commitStage(dir, "segments",
           Map("segmentRows" -> rows.map(_.rowsOut).sum, "postingBytes" -> rows.map(_.bytesOut).sum,
             "postingsIn" -> rows.map(_.rowsIn).sum))
+      }
+    } finally {
+      // join the overlapped stored write before any later stage (and before
+      // returning or propagating a failure): build() must never leave the
+      // sidecar write in flight
+      storedFut.foreach { f =>
+        try scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        finally storedPool.foreach(_.shutdown())
       }
     }
     failpoint("segments")
@@ -871,7 +893,7 @@ object SegmentStore {
     // (no posting conjunction) reads stored directly, so a row surviving
     // its postings would resurrect the deleted doc
     if (Files.exists(Paths.get(s"$dir/stored"))) {
-      spark.read.parquet(s"$dir/stored")
+      readInferred(spark, s"$dir/stored")
         .join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
         .withColumn("shard", (col("docId") / lit(dps)).cast("int"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stored")
@@ -962,7 +984,7 @@ object SegmentStore {
     // compact the upsert key map (if any): drop rows whose docIds the
     // optimize just expunged, BEFORE clearing the tombstone log
     if (Files.exists(Paths.get(s"$dir/keys"))) {
-      val live = spark.read.parquet(s"$dir/keys")
+      val live = readInferred(spark, s"$dir/keys")
         .join(deletedDocsDF(spark, dir), Seq("docId"), "left_anti")
       val compacted = s"$dir/keys-compact"
       live.write.mode(SaveMode.Overwrite).parquet(compacted)
@@ -1001,7 +1023,11 @@ object SegmentStore {
     */
   def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
     import spark.implicits._
-    deleteDocs(docIds.toDS().toDF("docId"), dir)
+    // this overload's input is by construction a driver-resident (bounded)
+    // id list — write it as ONE file instead of fanning a LocalTableScan
+    // across default parallelism (32+ near-empty tasks and part files per
+    // delete call; the DataFrame overload below stays the corpus-scale path)
+    deleteDocs(docIds.toDS().toDF("docId").coalesce(1), dir)
   }
 
   /** Distributed delete: tombstone a whole DataFrame of docIds without ever
@@ -1088,6 +1114,20 @@ object SegmentStore {
   private[graft] def readSegments(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(SegmentRowSchema).parquet(path)
 
+  /** Per-path schema memo for the store tables whose schema is CORPUS-shaped
+    * (stored sidecar, upsert key map) and so cannot be pinned statically:
+    * the first read of a path infers (one footer job), later reads pin it.
+    * Sound because a store dir's stored/keys schema is fixed by its spec for
+    * the dir's whole lifetime — generations append, optimize rewrites the
+    * same columns (temp-dir paths are never recycled across different specs).
+    */
+  private val inferredSchemaCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(
+      inferredSchemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)).parquet(path)
+
   private def readFieldStats(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     // explicit schema (round 6): the old mergeSchema read ran a distributed
     // footer-merge job per open; pinning the schema reads pre-sumDl
@@ -1113,7 +1153,7 @@ object SegmentStore {
       case None => readFieldStats(spark, s"$dir/fieldstats").as[FieldStats].collect().toSeq
     }
     val stored =
-      if (Files.exists(Paths.get(s"$dir/stored"))) Some(spark.read.parquet(s"$dir/stored"))
+      if (Files.exists(Paths.get(s"$dir/stored"))) Some(readInferred(spark, s"$dir/stored"))
       else None
     val idx = new SegmentIndex(
       readSegments(spark, s"$dir/segments").as[SegmentRow],

@@ -54,13 +54,17 @@ object Dedup {
 
   def shingles(text: Column, w: Int = 3): Column = shinglesOf(tokens(text), w)
 
-  /** Exact dedup: group by content hash, canonical = min doc id per group
-    * (hash-groupBy — one shuffle on the 16-byte digest, scales to any N).
+  /** Exact dedup: canonical = min doc id per content-hash group, as ONE
+    * window over the digest key (one shuffle on the 16-byte digest, scales
+    * to any N). The previous groupBy + join-back shape keyed two operations
+    * the same way but paid two exchanges (guide §2.4: share the exchange) —
+    * the unbounded-frame window min is the identical per-row canonical id
+    * off the single digest shuffle.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs.select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("content_md5"))
-    val canon = hashed.groupBy(col("content_md5")).agg(min(col("doc_id")).as("canonical_id"))
-    hashed.join(canon, Seq("content_md5"))
+    val w = Window.partitionBy(col("content_md5"))
+    hashed.select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
       .select(col("doc_id"), col("canonical_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
 

@@ -122,26 +122,45 @@ object IncrementalIndexer {
       SegmentStore.encodeSegments(postings, dps, reconstructMarkers = recon,
         markerAcc = Some(mkAcc))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
-      val seg = SegmentStore.readSegments(spark, s"$staging/segments")
-        .select(col("field"), col("term"), col("df"), col("cf"))
-      seg.filter(col("term") =!= IndexBuilder.DlMarker)
-        .groupBy(col("field"), col("term"))
-        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-        .as[TermStats]
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
       val fsRows = SegmentStore.foldMarkerStatsPublic(mkAcc)
-      // key→docId map rides along as its own generation: the MERGE/upsert
-      // path joins incoming keys against it to find superseded docIds
-      withIds.select((orderCols.map(org.apache.spark.sql.functions.col) :+ col("docId")): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/keys")
-      // stored/doc-values sidecar generation (round 4): docIds are
-      // append-only, so generations union cleanly at open — doc-value and
-      // envelope queries work on an incrementally-maintained index too
-      if (storedColumns.nonEmpty) {
-        withIds.select(col("docId").cast("long").as("docId") +: storedColumns.map(col): _*)
-          .withColumn("shard", (col("docId") / lit(dps)).cast("int"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/stored")
-      }
+      // The three remaining staged writes are INDEPENDENT of each other
+      // (termstats reads the just-encoded segments; keys/stored read the
+      // persisted batch), so they run as concurrent jobs from a small driver
+      // pool (guide §2.6 "overlap independent jobs") — each is tiny next to
+      // the encode, and serially their per-job scheduling latency was the
+      // bulk of a micro-batch's tail. Promotion below still happens only
+      // after ALL of them complete.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val writes = Seq(
+          scala.concurrent.Future {
+            val seg = SegmentStore.readSegments(spark, s"$staging/segments")
+              .select(col("field"), col("term"), col("df"), col("cf"))
+            seg.filter(col("term") =!= IndexBuilder.DlMarker)
+              .groupBy(col("field"), col("term"))
+              .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+              .as[TermStats]
+              .write.mode(SaveMode.Overwrite).parquet(s"$staging/termstats")
+          },
+          // key→docId map rides along as its own generation: the MERGE/upsert
+          // path joins incoming keys against it to find superseded docIds
+          scala.concurrent.Future {
+            withIds.select((orderCols.map(org.apache.spark.sql.functions.col) :+ col("docId")): _*)
+              .write.mode(SaveMode.Overwrite).parquet(s"$staging/keys")
+          }) ++
+          // stored/doc-values sidecar generation (round 4): docIds are
+          // append-only, so generations union cleanly at open — doc-value and
+          // envelope queries work on an incrementally-maintained index too
+          (if (storedColumns.isEmpty) Nil else Seq(scala.concurrent.Future {
+            withIds.select(col("docId").cast("long").as("docId") +: storedColumns.map(col): _*)
+              .withColumn("shard", (col("docId") / lit(dps)).cast("int"))
+              .write.mode(SaveMode.Overwrite).parquet(s"$staging/stored")
+          }))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       // promote: idempotent move under stable names, then delete staging
       val subs = Seq("termstats", "segments", "keys") ++
         (if (storedColumns.nonEmpty) Seq("stored") else Nil)
