@@ -321,8 +321,17 @@ final class Searcher(index: TextIndex, opts: SearchOptions = SearchOptions()) {
       }
       val mustDfs = musts.map(m => mustDf(m._1.q))
       val positive =
-        if (musts.nonEmpty && mustDfs.forall(_.isDefined)) {
-          val ordered = musts.zip(mustDfs.map(_.get)).sortBy(_._2).map(_._1)
+        if (musts.nonEmpty && mustDfs.exists(_.isDefined)) {
+          // Round 6: ONE stats-known MUST term is enough to anchor the
+          // rarest-first join — clauses with unknown selectivity (doc-value
+          // predicates, multi-term expansions) join AFTER the known terms,
+          // where the accumulated left side is already ≤ the rarest df. The
+          // old `forall` guard sent every mixed conjunction (typed point/
+          // range AND term) to the union+groupBy fallback: both clause
+          // frames shuffled in full for a match set the rare term had
+          // already bounded.
+          val (known, unknown) = musts.zip(mustDfs).partition(_._2.isDefined)
+          val ordered = (known.sortBy(_._2.get) ++ unknown).map(_._1)
           val frames = ordered.map { case (c, i) =>
             execWith(c.q, stats).select(col("docId"), col("score").as(s"s_$i"))
           }
