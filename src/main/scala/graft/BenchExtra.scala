@@ -74,6 +74,32 @@ object BenchExtra {
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
+    case Some("build") =>
+      // Scaling-gate diagnosis: replicate Bench.buildBench at `cpus` with a
+      // per-stage listener (stage name, task count, duration, max/median
+      // task time) — run it under `taskset -c` like the bench children.
+      val (numConvs, cpus) = (args(1).toLong, args(2).toInt)
+      val spark = session(cpus)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {
+            s <- si.submissionTime; e <- si.completionTime
+          } yield e - s
+          println(f"STAGE ${si.stageId}%3d tasks=${si.numTasks}%4d wall=${ms.getOrElse(-1L)}%6d ms  ${si.name.take(90)}")
+        }
+      })
+      val dir = Bench.tempDir("extra-idx")
+      (1 to 2).foreach { rep =>
+        val d = s"$dir-$rep"
+        val t0 = System.nanoTime()
+        val turns = graft.data.TranscriptGen.transcripts(spark, numConvs)
+        val withIds = graft.index.DocIds.assign(turns.toDF(), Seq("conv_id", "turn_idx"), "docId")
+        val n = graft.index.SegmentStore.build(withIds, "docId", Bench.Fields, d, docsPerShard = 1 << 14)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"BUILD rep=$rep turns=$n secs=$secs%.2f tps=${n / secs}%.0f")
+      }
+      spark.stop()
     case Some("profile") =>
       val (sfDir, cpus) = (args(1), args(2).toInt)
       val nameRe = if (args.length > 3) args(3) else ".*"

@@ -49,16 +49,22 @@ object DocIds {
       numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val keys = orderCols.map(col)
-    // explicit partition count when the caller pins one; otherwise leave it
-    // to the session + AQE coalescing (scale-adaptive: a corpus-scale batch
-    // keeps the session's partitioning — every partition clears the coalesce
-    // floor — while a small batch collapses to a few tasks instead of paying
-    // numShufflePartitions near-empty tasks in BOTH passes below). The rank
-    // is partition-invariant: range partition p's keys all precede p+1's and
-    // AQE only merges ADJACENT shuffle partitions, so the concatenated order
+    // EXPLICIT partition count, defaulting to the session's shuffle
+    // parallelism (round 6). The pre-round-6 default left the range exchange
+    // to AQE coalescing, which sizes partitions by shuffle BYTES — but this
+    // exchange's reader is the build's single heaviest stage (in-partition
+    // sort → id assignment → tokenize → map-side posting combine), which is
+    // compute-heavy and bytes-light. Measured at 4 pinned cores / 1.2M
+    // turns: AQE coalesced 16 → 5 partitions and the tokenize+combine stage
+    // ran 17.7 s on 5 tasks (a 1.25-wave straggler tail idling most cores);
+    // pinned at the session's 16 it runs 4 balanced waves. The session conf
+    // keeps this scale-adaptive (4×cores locally, cluster-sized elsewhere)
+    // instead of tuned to any fixed width. The rank is partition-invariant:
+    // range partition p's keys all precede p+1's, so the concatenated order
     // — and therefore every assigned id — is the same at any partitioning.
-    val sorted = (if (numPartitions > 0) df.repartitionByRange(numPartitions, keys: _*)
-                  else df.repartitionByRange(keys: _*))
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
 
     // No .persist(): both jobs run from the same RDD object, so the range
