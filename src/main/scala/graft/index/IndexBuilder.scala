@@ -195,6 +195,153 @@ object IndexBuilder {
     tokenizePostingsWithMarkers(docs, docIdCol, fields).filter(_.term != DlMarker)
   }
 
+  /** FUSED tokenize → map-side posting combine (round 6): one loop per
+    * partition that tokenizes each document and appends its term runs
+    * straight into per-term [[SegmentStore.RunBuf]]s, emitting
+    * [[SegmentStore.MiniRun]] rows per shard — the input to
+    * [[SegmentStore.encodeRuns]].
+    *
+    * Semantically identical to `tokenizePostings |> encodeSegments`'s
+    * internal combine (same runs, same docId order — property-pinned by
+    * SegmentSpec's fused-≡-streamed case), but the per-posting `Posting`
+    * object, the `(shard, field, term)` tuple key allocated per map lookup,
+    * and the per-document output buffer are all gone: at bench scale that
+    * was ~36M short-lived objects per build riding the allocation/memory
+    * bandwidth the wide (4-core) scaling child is bounded by. Emits NO
+    * dl-marker rows — callers use `reconstructMarkers` (both current
+    * callers are the `docsPerShard <= Int.MaxValue` paths).
+    *
+    * Flush granularity: a mini-run window closes at a shard boundary (docs
+    * arrive docId-ascending from [[DocIds.assign]], so shards are monotonic
+    * per partition) or at [[SegmentStore.FlushPostings]] buffered runs —
+    * the Lucene flush-by-RAM bound. Unordered input stays CORRECT (the
+    * encode merge handles any mini-run split; RunBuf index-sorts the rare
+    * unsorted run) but flushes more often.
+    */
+  def tokenizeMiniRuns(
+      docs: DataFrame,
+      docIdCol: String,
+      fields: Seq[FieldDef],
+      docsPerShard: Long): Dataset[SegmentStore.MiniRun] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val schema = docs.schema
+    def isArraySource(f: FieldDef): Boolean =
+      schema.fields.find(_.name == f.source).exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val arrayString: Set[Int] = fields.zipWithIndex.collect {
+      case (f, i) if f.kind == StringField && isArraySource(f) => i
+    }.toSet
+    val cols = col(docIdCol).cast(LongType) +: fields.zipWithIndex.map { case (f, i) =>
+      if (isArraySource(f)) {
+        val arr = col(f.source).cast(org.apache.spark.sql.types.ArrayType(StringType))
+        if (arrayString(i)) filter(arr, x => x.isNotNull && x =!= lit(""))
+        else array_join(arr, " ")
+      } else col(f.source).cast(StringType)
+    }
+    val nFields = fields.length
+    val fieldNames = fields.map(_.indexField).toArray
+    val analyzers: Array[graft.analysis.Analyzer] = fields.map {
+      case FieldDef(_, _, TextField(a), _) => a
+      case _ => null
+    }.toArray
+    docs.select(cols: _*).mapPartitions { rows =>
+      val src = rows.buffered
+      new Iterator[SegmentStore.MiniRun] {
+        private val buf = new graft.analysis.TokenBuffer(256)
+        private val bufs: Array[java.util.HashMap[String, SegmentStore.RunBuf]] =
+          Array.fill(nFields)(new java.util.HashMap[String, SegmentStore.RunBuf]())
+        private var curShard = -1
+        private var nBuffered = 0
+        private var out: Iterator[SegmentStore.MiniRun] = Iterator.empty
+
+        private def bufOf(i: Int, term: String): SegmentStore.RunBuf = {
+          val m = bufs(i)
+          var b = m.get(term)
+          if (b == null) { b = new SegmentStore.RunBuf(); m.put(term, b) }
+          b
+        }
+
+        private def addDoc(row: org.apache.spark.sql.Row): Unit = {
+          val docId = row.getLong(0)
+          var i = 0
+          while (i < nFields) {
+            if (!row.isNullAt(i + 1)) {
+              if (arrayString(i)) {
+                val elems = row.getSeq[String](i + 1)
+                val m = elems.length
+                if (m > 0) {
+                  val byTerm = elems.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+                  byTerm.foreach { case (term, occ) =>
+                    bufOf(i, term).add(docId, occ.length, m, occ.map(_._2).toArray)
+                    nBuffered += 1
+                  }
+                }
+              } else analyzers(i) match {
+                case null => // StringField scalar
+                  val v = row.getString(i + 1)
+                  if (!v.isEmpty) {
+                    bufOf(i, v).add(docId, 1, 1, Array(0))
+                    nBuffered += 1
+                  }
+                case analyzer =>
+                  buf.clear()
+                  analyzer.tokensInto(row.getString(i + 1), buf)
+                  val dl = buf.len
+                  if (dl > 0) {
+                    buf.sort()
+                    val terms = buf.terms
+                    val poss = buf.poss
+                    var s = 0
+                    while (s < dl) {
+                      var e = s + 1
+                      while (e < dl && terms(e) == terms(s)) e += 1
+                      bufOf(i, terms(s)).add(docId, e - s, dl,
+                        java.util.Arrays.copyOfRange(poss, s, e))
+                      nBuffered += 1
+                      s = e
+                    }
+                  }
+              }
+            }
+            i += 1
+          }
+        }
+
+        private def drain(): Iterator[SegmentStore.MiniRun] = {
+          val acc = new ArrayBuffer[SegmentStore.MiniRun](bufs.iterator.map(_.size).sum)
+          var i = 0
+          while (i < nFields) {
+            val it = bufs(i).entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val (d, t, l, ps) = e.getValue.result()
+              acc += ((curShard, fieldNames(i), e.getKey, d(0), d, t, l, ps))
+            }
+            bufs(i).clear()
+            i += 1
+          }
+          nBuffered = 0
+          acc.iterator
+        }
+
+        private def refill(): Unit = {
+          curShard = (src.head.getLong(0) / docsPerShard).toInt
+          while (src.hasNext && nBuffered < SegmentStore.FlushPostings &&
+            (src.head.getLong(0) / docsPerShard).toInt == curShard) {
+            addDoc(src.next())
+          }
+          out = drain()
+        }
+
+        def hasNext: Boolean = {
+          while (!out.hasNext && src.hasNext) refill()
+          out.hasNext
+        }
+        def next(): SegmentStore.MiniRun = out.next()
+      }
+    }
+  }
+
   /** Field stats from the dl marker rows: partial agg collapses each
     * partition to #fields rows before the (trivial) shuffle.
     */

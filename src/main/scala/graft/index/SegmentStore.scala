@@ -208,12 +208,13 @@ object SegmentStore {
     * counts); several flush windows per task just mean several mini-runs
     * per term, which the encode-side merge folds anyway.
     */
-  private val FlushPostings: Int = 1 << 20
+  private[index] val FlushPostings: Int = 1 << 20
 
   /** Growable parallel posting buffers for one (shard, field, term)
-    * mini-run of the map-side combine.
+    * mini-run of the map-side combine (shared with the fused
+    * tokenize-to-mini-run pass, [[IndexBuilder.tokenizeMiniRuns]]).
     */
-  private final class RunBuf {
+  private[index] final class RunBuf {
     private var n = 0
     private var isSorted = true
     private var docIds = new Array[Long](4)
@@ -359,17 +360,22 @@ object SegmentStore {
         // (doc, field) from the build's widest stage. Falls back to shipped
         // markers only for docsPerShard beyond the BitSet range.
         val recon = docsPerShard <= Int.MaxValue
-        val postings =
-          if (recon) IndexBuilder.tokenizePostings(docs, docIdCol, fields)
-          else IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields)
         // per-partition lineage rides back on an accumulator — the round-2
         // build re-read the committed segments for a metadata agg (a pure
         // driver-synchronized second job)
         val linAcc = spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")
         val mkAcc = spark.sparkContext.collectionAccumulator[MarkerStat]("graft.markerstats")
-        encodeSegments(postings, docsPerShard, Some(linAcc), reconstructMarkers = recon,
-          markerAcc = Some(mkAcc))
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
+        // recon path: the FUSED tokenize→mini-run pass (no per-posting
+        // object stream — see IndexBuilder.tokenizeMiniRuns); the wide-shard
+        // fallback keeps the posting stream since it must ship markers
+        val encoded =
+          if (recon)
+            encodeRuns(IndexBuilder.tokenizeMiniRuns(docs, docIdCol, fields, docsPerShard),
+              Some(linAcc), reconstructMarkers = true, Some(mkAcc), docsPerShard)
+          else
+            encodeSegments(IndexBuilder.tokenizePostingsWithMarkers(docs, docIdCol, fields),
+              docsPerShard, Some(linAcc), reconstructMarkers = false, markerAcc = Some(mkAcc))
+        encoded.write.mode(SaveMode.Overwrite).parquet(s"$dir/segments")
         // dedupe by pid: a speculative/retried task may report twice; the
         // rows are deterministic per partition so first-wins is exact
         val rows = {
@@ -598,6 +604,23 @@ object SegmentStore {
         def next(): SegmentStore.MiniRun = out.next()
       }
     }
+    encodeRuns(mini, lineageAcc, reconstructMarkers, markerAcc, docsPerShard)
+  }
+
+  /** The post-combine half of [[encodeSegments]]: shard-shuffle the
+    * mini-runs, merge each (shard, field, term)'s runs docId-ascending, and
+    * block-encode. Callable directly with mini-runs built by the FUSED
+    * tokenize pass ([[IndexBuilder.tokenizeMiniRuns]]), which skips the
+    * per-posting object stream entirely.
+    */
+  private[graft] def encodeRuns(
+      mini: Dataset[SegmentStore.MiniRun],
+      lineageAcc: Option[org.apache.spark.util.CollectionAccumulator[LineageRow]],
+      reconstructMarkers: Boolean,
+      markerAcc: Option[org.apache.spark.util.CollectionAccumulator[MarkerStat]],
+      docsPerShard: Long): Dataset[SegmentRow] = {
+    val spark = mini.sparkSession
+    import spark.implicits._
     val sortedRuns = mini
       .toDF("shard", "field", "term", "minDoc", "docIds", "tfs", "dls", "poss")
       .repartition(col("shard"))

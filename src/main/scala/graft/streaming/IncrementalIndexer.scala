@@ -112,16 +112,21 @@ object IncrementalIndexer {
       // inflation (Codec.Block.encAvgdl) is what keeps WAND sound when the
       // merged multi-generation avgdl differs from any encode-time value.
       val recon = dps <= Int.MaxValue
-      val postings =
-        if (recon) IndexBuilder.tokenizePostings(withIds, "docId", fields)
-        else IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields)
       // field stats fold from the encode job's marker accumulator (round 6)
       // — the old shape re-read the staged segments for a second metadata
       // aggregation + collect per micro-batch
       val mkAcc = spark.sparkContext.collectionAccumulator[graft.index.MarkerStat]("graft.markerstats")
-      SegmentStore.encodeSegments(postings, dps, reconstructMarkers = recon,
-        markerAcc = Some(mkAcc))
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
+      // recon path: fused tokenize→mini-run pass (IndexBuilder.tokenizeMiniRuns)
+      val encoded =
+        if (recon)
+          SegmentStore.encodeRuns(
+            IndexBuilder.tokenizeMiniRuns(withIds, "docId", fields, dps),
+            None, reconstructMarkers = true, Some(mkAcc), dps)
+        else
+          SegmentStore.encodeSegments(
+            IndexBuilder.tokenizePostingsWithMarkers(withIds, "docId", fields),
+            dps, reconstructMarkers = false, markerAcc = Some(mkAcc))
+      encoded.write.mode(SaveMode.Overwrite).parquet(s"$staging/segments")
       val fsRows = SegmentStore.foldMarkerStatsPublic(mkAcc)
       // The three remaining staged writes are INDEPENDENT of each other
       // (termstats reads the just-encoded segments; keys/stored read the

@@ -231,4 +231,28 @@ class SegmentSpec extends SparkSpec {
     val ckpt = Files.readString(java.nio.file.Paths.get(s"$tmp/checkpoints/segments.json"))
     assert(ckpt.contains("segmentRows") && ckpt.contains("postingBytes"))
   }
+
+  test("fused tokenize→mini-run path ≡ posting-stream combine, row for row (round 6)") {
+    import spark.implicits._
+    // exercise TEXT, scalar STRING, and multi-valued STRING sources
+    val aug = docs
+      .withColumn("words", split(col("text"), " "))
+      .persist()
+    val f2 = fields :+ FieldDef("word", "words", StringField)
+    val dps = 257L
+    def key(r: SegmentRow) = (r.shard, r.field, r.term, r.minDoc)
+    def canon(rows: Seq[SegmentRow]) = rows.sortBy(key).map(r =>
+      (r.shard, r.field, r.term, r.df, r.cf, r.minDoc, r.maxDoc, r.bytes,
+        r.blocks.map(b => (b.firstDoc, b.lastDoc, b.count, b.maxTf, b.maxTfNorm, b.encAvgdl,
+          b.minPos, b.maxPos,
+          b.docBytes.toSeq, b.tfBytes.toSeq, b.dlBytes.toSeq, b.posBytes.toSeq))))
+    val fused = SegmentStore.encodeRuns(
+      IndexBuilder.tokenizeMiniRuns(aug, "docId", f2, dps),
+      None, reconstructMarkers = true, None, dps).collect().toSeq
+    val streamed = SegmentStore.encodeSegments(
+      IndexBuilder.tokenizePostings(aug, "docId", f2), dps,
+      reconstructMarkers = true).collect().toSeq
+    assert(canon(fused) === canon(streamed))
+    aug.unpersist()
+  }
 }
