@@ -29,6 +29,13 @@ object DocIds {
 
   /** Append a dense 0-based `docIdCol` ranked by `orderCols` (keys must be
     * unique).
+    *
+    * `numPartitions`: positive = exact count; 0 (default) = pin to the
+    * session's shuffle parallelism — the corpus-scale-build setting (see
+    * the range-exchange note in [[assignWithCount]]); NEGATIVE = leave the
+    * exchange to AQE coalescing — the micro-batch setting ([[graft.streaming.IncrementalIndexer]]):
+    * a latency-sized batch collapses to a few tasks instead of paying
+    * `numShufflePartitions` near-empty tasks in BOTH passes below.
     */
   def assign(
       df: DataFrame,
@@ -62,9 +69,12 @@ object DocIds {
     // instead of tuned to any fixed width. The rank is partition-invariant:
     // range partition p's keys all precede p+1's, so the concatenated order
     // — and therefore every assigned id — is the same at any partitioning.
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, keys: _*)
+    // negative numPartitions = AQE-adaptive (micro-batch callers — see
+    // assign's scaladoc); 0 = session-pinned (corpus builds); >0 = exact
+    val sorted = (if (numPartitions < 0) df.repartitionByRange(keys: _*)
+                  else df.repartitionByRange(
+                    if (numPartitions > 0) numPartitions
+                    else spark.sessionState.conf.numShufflePartitions, keys: _*))
       .sortWithinPartitions(keys: _*)
 
     // No .persist(): both jobs run from the same RDD object, so the range

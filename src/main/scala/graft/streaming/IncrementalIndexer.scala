@@ -96,7 +96,10 @@ object IncrementalIndexer {
     // docID pipeline for each (VERDICT r2 #5); released below. The batch
     // size comes off the docID pass's own per-partition counts (round 6) —
     // the old explicit count() was a whole extra job per micro-batch.
-    val (assigned, n) = DocIds.assignWithCount(batch, orderCols, "docId")
+    // numPartitions = -1: micro-batches keep the AQE-coalesced range
+    // exchange (a latency-sized batch collapses to a few tasks); the
+    // session-pinned default is the CORPUS-build setting — see DocIds.assign
+    val (assigned, n) = DocIds.assignWithCount(batch, orderCols, "docId", numPartitions = -1)
     val withIds = assigned
       .withColumn("docId", col("docId") + lit(meta.nextDocId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
